@@ -1,0 +1,249 @@
+"""Scalar transduce oracle — the host-side conformance reference.
+
+An exact re-statement of the reference's greedy single-backtrack
+transduce loop for both runtime representations
+(/root/reference matrix.go:348-698 and datok.go:781-1135), emitting
+boundary :mod:`events` instead of writer callbacks.  Every kernel in
+this framework is diffed against this oracle.
+
+Replicated semantics (in reference order):
+
+  * per-char symbol lookup with ASCII fast path and the *stale* ``ok``
+    flag: ``ok`` is only (re)assigned on the non-ASCII path, so the
+    identity→unknown retry condition ``!ok && a == identity`` can see a
+    leftover value (matrix.go:421-435, 472-485) — bug-compatible;
+  * epsilon availability probe on every fresh char, saving
+    (state, cursor) as the single backtrack register
+    (matrix.go:442-454);
+  * on failure: identity→unknown retry, then epsilon backtrack (cursor
+    rewind), then the never-fail force-emit that flushes the pending
+    buffer as a token and restarts at the root (matrix.go:472-556);
+  * nontoken leading-character drop only while the pending token is
+    empty (matrix.go:579-591);
+  * EOT (``\\x04``) emitting sentence end + text end after its
+    transition succeeds (matrix.go:593-605);
+  * the EOF epilogue: chase trailing epsilon transitions, then the
+    backtrack register, then flush the residual buffer and emit the
+    implicit sentence/text ends (matrix.go:637-697);
+  * double-array variant: validity via ``t <= check(1) &&
+    check(t) == t0``, nontoken/tokenend in check-bits, and the
+    separate-state representative hop (datok.go:889-1063).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from ..fsa.io import EOT, FIRSTBIT, RESTBIT
+from .events import EV_SENT, EV_TEXT, EV_TOKEN, Event, replay_events
+from .writer import SIMPLE, TokenWriter
+
+_CP_EOT = EOT
+
+
+def transduce_events(tok, text: str) -> List[Event]:
+    """Run the exact transduce loop; return the boundary event stream."""
+    is_da = tok.type() == "DATOK"
+    eps = tok.epsilon
+    unknown = tok.unknown
+    identity = tok.identity
+    sigma = tok.sigma
+    ascii_tab = tok.sigma_ascii
+
+    if is_da:
+        base_arr = tok.base
+        check_arr = tok.check
+        arr_len = len(base_arr)
+        size = int(check_arr[1] & RESTBIT)
+    else:
+        arr = tok.array
+        S = tok.state_count
+
+    events: List[Event] = []
+    emit = events.append
+
+    n = len(text)
+    t = 1  # initial state
+    t0 = 0
+    a = 0
+    ok = False
+    eot = False
+    newchar = True
+    eps_state = 0
+    eps_offset = 0
+    sentence_end = False
+    text_end = False
+    # Absolute buffer registers: b = buffer base (rewind point),
+    # ft = bufft (dropped leading chars), c = cursor (buffc, absolute).
+    b = 0
+    ft = 0
+    c = 0
+
+    in_loop = True  # False = epilogue (post-EOF) section
+    while True:
+        if in_loop:
+            if newchar:
+                if c >= n:
+                    in_loop = False
+                    continue
+                cp = ord(text[c])
+                eot = False
+                if cp < 256:
+                    eot = cp == _CP_EOT
+                    a = int(ascii_tab[cp])
+                else:
+                    v = sigma.get(cp)
+                    if v is None:
+                        ok = False
+                        a = identity if identity != -1 else 0
+                    else:
+                        ok = True
+                        a = v
+                t0 = t
+                # Epsilon availability probe (backtrack register save)
+                if is_da:
+                    tc = int(base_arr[t0] & RESTBIT) + eps
+                    probe = tc < arr_len and int(check_arr[tc] & RESTBIT) == t0
+                else:
+                    probe = arr[(eps - 1) * S + t0] != 0
+                if probe:
+                    eps_state = t0
+                    eps_offset = c
+
+            # Transition attempt
+            if is_da:
+                tcell = int(base_arr[t0] & RESTBIT) + a
+                valid = (
+                    tcell <= size
+                    and tcell < arr_len
+                    and int(check_arr[tcell] & RESTBIT) == t0
+                )
+            else:
+                traw = 0 if a == 0 else int(arr[(a - 1) * S + t0])
+                valid = traw != 0
+
+            if not valid:
+                if not ok and a == identity:
+                    # identity failed → retry with unknown
+                    a = unknown
+                    newchar = False
+                    eot = False
+                    continue
+                if a != eps and eps_state != 0:
+                    # backtrack to the last possible token end
+                    t0 = eps_state
+                    eps_state = 0
+                    c = eps_offset
+                    a = eps
+                    newchar = False
+                    eot = False
+                    continue
+                # Hard fail: force-emit pending buffer as a token and
+                # restart at the root (never-fail invariant).
+                if c - b - ft <= 0:
+                    c += 1
+                emit((EV_TOKEN, b + ft, c))
+                sentence_end = False
+                text_end = False
+                b = c
+                ft = 0
+                eps_state = 0
+                a = eps
+                t = 1
+                newchar = True
+                continue
+
+            # Transition successful
+            rewind = False
+            if is_da:
+                cell_check = int(check_arr[tcell])
+                nontoken = (cell_check & FIRSTBIT) != 0
+            else:
+                nontoken = (traw & FIRSTBIT) != 0
+
+            if a == eps:
+                if c - b > ft:
+                    # token bound: flush the pending buffer
+                    emit((EV_TOKEN, b + ft, c))
+                    rewind = True
+                    sentence_end = False
+                    text_end = False
+                else:
+                    sentence_end = True
+                    emit((EV_SENT, c, c))
+            else:
+                c += 1
+                # Drop a leading non-word character from the surface
+                if (c - b) - ft == 1 and nontoken:
+                    ft += 1
+
+            if eot:
+                eot = False
+                if not sentence_end:
+                    sentence_end = True
+                    emit((EV_SENT, c, c))
+                text_end = True
+                emit((EV_TEXT, c, c))
+                rewind = True
+
+            if rewind:
+                b = c
+                ft = 0
+                eps_offset = 0
+                eps_state = 0
+
+            if is_da:
+                t = tcell
+                if base_arr[t] & FIRSTBIT:  # separate → representative
+                    t = int(base_arr[t] & RESTBIT)
+            else:
+                t = traw & ~FIRSTBIT
+            newchar = True
+            continue
+
+        # ---- epilogue: chase trailing epsilon transitions ----
+        t0 = t
+        a = eps
+        newchar = False
+        if is_da:
+            tcell = int(base_arr[t0] & RESTBIT) + eps
+            chase = tcell < arr_len and int(check_arr[tcell] & RESTBIT) == t0
+        else:
+            chase = arr[(eps - 1) * S + t0] != 0
+        if chase:
+            in_loop = True
+            continue
+        if eps_state != 0:
+            t0 = eps_state
+            eps_state = 0
+            c = eps_offset
+            in_loop = True
+            continue
+        break
+
+    # Residual buffer flush + implicit sentence/text ends
+    if c - b > ft:
+        emit((EV_TOKEN, b + ft, c))
+        sentence_end = False
+        text_end = False
+    if not sentence_end:
+        emit((EV_SENT, c, c))
+    if not text_end:
+        emit((EV_TEXT, c, c))
+    return events
+
+
+def transduce(tok, text: str, writer: Optional[TokenWriter] = None):
+    """Transduce ``text``; returns the output string (or the writer).
+
+    With ``writer=None`` a ``SIMPLE`` writer is used and the formatted
+    string is returned (the reference's ``Transduce``,
+    matrix.go:340-342); otherwise events are replayed into ``writer``
+    and the writer is returned (``TransduceTokenWriter``).
+    """
+    events = transduce_events(tok, text)
+    own = writer is None
+    w = TokenWriter(SIMPLE) if own else writer
+    replay_events(events, text, w)
+    w.flush()
+    return w.getvalue() if own else w
