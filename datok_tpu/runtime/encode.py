@@ -1,0 +1,88 @@
+"""Vectorized input encoding: text → codepoints → symbol metadata.
+
+The per-char symbol lookup of the reference's hot loop
+(/root/reference matrix.go:421-435: ASCII fast-path table, rune map
+with identity fallback) is precomputed here for whole batches in one
+vectorized pass, so the device state machine only gathers a single
+packed int32 per step:
+
+    meta = a | found<<16 | nonascii<<17 | eot<<18
+
+where ``a`` is the symbol id (16 bit), ``found``/``nonascii`` feed the
+stale-``ok`` replication, and ``eot`` marks the \\x04 end-of-text char.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..fsa.io import EOT
+
+META_A_MASK = 0xFFFF
+META_FOUND = 1 << 16
+META_NONASCII = 1 << 17
+META_EOT = 1 << 18
+
+
+def text_to_codepoints(text: str) -> np.ndarray:
+    """Decode a Python str into an int32 codepoint array (fast path)."""
+    if not text:
+        return np.zeros(0, dtype=np.int32)
+    return np.frombuffer(text.encode("utf-32-le", "surrogatepass"), dtype="<u4").astype(
+        np.int32
+    )
+
+
+class SymbolEncoder:
+    """Precomputes per-position symbol metadata for a tokenizer."""
+
+    def __init__(self, tok) -> None:
+        self.eot = EOT
+        self.identity = tok.identity
+        self.ascii_tab = np.asarray(tok.sigma_ascii, dtype=np.int32)
+        nonascii = sorted((cp, num) for cp, num in tok.sigma.items() if cp >= 256)
+        self.keys = np.array([k for k, _ in nonascii], dtype=np.int32)
+        self.vals = np.array([v for _, v in nonascii], dtype=np.int32)
+        self.fallback = self.identity if self.identity != -1 else 0
+
+    def encode(self, cp: np.ndarray) -> np.ndarray:
+        """codepoints (…,) int32 → packed meta (…,) int32."""
+        cp = np.asarray(cp, dtype=np.int32)
+        is_ascii = cp < 256
+        a_ascii = self.ascii_tab[np.clip(cp, 0, 255)]
+        if len(self.keys):
+            idx = np.searchsorted(self.keys, cp)
+            idx_c = np.clip(idx, 0, len(self.keys) - 1)
+            found = self.keys[idx_c] == cp
+            a_non = np.where(found, self.vals[idx_c], self.fallback)
+        else:
+            found = np.zeros(cp.shape, dtype=bool)
+            a_non = np.full(cp.shape, self.fallback, dtype=np.int32)
+        a = np.where(is_ascii, a_ascii, a_non).astype(np.int32)
+        meta = a & META_A_MASK
+        meta = meta | np.where(~is_ascii & found, META_FOUND, 0)
+        meta = meta | np.where(~is_ascii, META_NONASCII, 0)
+        meta = meta | np.where(cp == self.eot, META_EOT, 0)
+        return meta.astype(np.int32)
+
+    def encode_batch(
+        self, texts: Sequence[str], pad_to: int | None = None
+    ) -> Tuple[np.ndarray, np.ndarray, List[np.ndarray]]:
+        """Pad a batch of texts to a common length.
+
+        Returns (meta[B, L] int32, lengths[B] int32, codepoint arrays).
+        """
+        cps = [text_to_codepoints(t) for t in texts]
+        lengths = np.array([len(c) for c in cps], dtype=np.int32)
+        L = max(1, int(lengths.max()) if len(cps) else 1)
+        if pad_to is not None:
+            if L > pad_to:
+                raise ValueError(f"text length {L} exceeds pad_to {pad_to}")
+            L = pad_to
+        meta = np.zeros((len(cps), L), dtype=np.int32)
+        for i, c in enumerate(cps):
+            if len(c):
+                meta[i, : len(c)] = self.encode(c)
+        return meta, lengths, cps

@@ -1,15 +1,24 @@
 import os
+import sys
 
-# Sharding tests run on a virtual 8-device CPU mesh; the real-TPU bench
-# path lives in bench.py, not in the test suite.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+# Tests run on a virtual 8-device CPU mesh (the real-TPU bench path is
+# bench.py).  This image's sitecustomize registers the axon TPU-tunnel
+# PJRT plugin in every interpreter and pins jax_platforms to it; force
+# the CPU backend and drop the tunnel factory before any backend
+# initializes (initializing CPU with the axon factory present hangs).
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+from jax._src import xla_bridge as _xla_bridge
+
+_xla_bridge._backend_factories.pop("axon", None)
 
 import re
-import sys
 
 import pytest
 
