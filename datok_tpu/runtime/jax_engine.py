@@ -10,17 +10,25 @@ branchless* state machine over B independent input lanes:
     with masks, not branches;
   * the transition table lives in HBM as a flat ``uint32`` array; the
     per-step work is two dependent gathers (transition + ε-probe), one
-    gather of precomputed symbol metadata, and three masked event
-    scatters;
-  * token/sentence/text boundaries are emitted as compact events
-    ``(kind, start, end)`` into a per-lane event buffer; the host
-    replays them through :class:`TokenWriter` for byte-identical
-    output (see :mod:`datok_tpu.runtime.events`).
+    gather of precomputed symbol metadata, and ~50 fused elementwise
+    ops;
+  * boundary events are emitted **scatter-free**: each lane emits at
+    most one packed int32 event per step (``kind | start<<2 |
+    end<<17``), written as one contiguous row into a step-indexed
+    buffer via ``dynamic_update_slice`` — TPU scatters serialize per
+    row on the scalar core and were 100×+ slower.  The rare steps that
+    produce 2–3 events (EOT, epilogue flush) queue the extras in a
+    2-deep pending register and drain them on following steps.
 
-Lanes whose event buffer would overflow, or that exceed the step
-budget, are flagged and transparently re-run through the scalar oracle
-by the pipeline — a correctness safety valve that keeps the device
-kernel fixed-shape.
+The host decodes the (steps, B) event buffer with vectorized numpy and
+replays events through :class:`TokenWriter` for byte-identical output
+(see :mod:`datok_tpu.runtime.events`).
+
+Lanes that exceed the step budget are flagged and transparently re-run
+through the scalar oracle by the pipeline — a correctness safety valve
+that keeps the device kernel fixed-shape.  Packed positions carry 15
+bits, so one engine call handles segments up to 32 K chars; longer
+streams go through the segmentation layer.
 
 Both runtime representations are supported: the dense matrix (validity
 ``cell != 0``, nontoken bit on the cell) and the double array
@@ -32,7 +40,6 @@ step function.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -47,6 +54,11 @@ from .events import EV_SENT, EV_TEXT, EV_TOKEN
 I32 = jnp.int32
 U32 = jnp.uint32
 
+# Packed-event layout: kind(2) | start(15) | end(15)
+PACK_POS_BITS = 15
+PACK_POS_MASK = (1 << PACK_POS_BITS) - 1
+MAX_SEGMENT = PACK_POS_MASK - 2
+
 
 class MatrixRep:
     """Dense-matrix transition semantics (matrix.go:442-463, 629)."""
@@ -57,7 +69,7 @@ class MatrixRep:
         self.unknown = int(tok.unknown)
         self.identity = int(tok.identity)
         self.n_cells = len(tok.array)
-        self.max_sym = self.n_cells // self.S if self.S else 0
+        self.max_sym = self.n_cells // (self.S + 1) if self.S else 0
         self.tables = (np.asarray(tok.array, dtype=np.uint32),)
 
     def eps_avail(self, tables, t):
@@ -103,14 +115,15 @@ class DoubleArrayRep:
         b0 = (jnp.take(base, t0, mode="fill", fill_value=0) & jnp.uint32(RESTBIT)).astype(I32)
         tc = b0 + a  # NOTE: no a==0 guard — bug-compatible with the reference
         in_rng = (tc >= 0) & (tc < self.n_cells)
-        chk_raw = jnp.take(check, jnp.clip(tc, 0, self.n_cells - 1), mode="clip")
+        tc_c = jnp.clip(tc, 0, self.n_cells - 1)
+        chk_raw = jnp.take(check, tc_c, mode="clip")
         chk_raw = jnp.where(in_rng, chk_raw, jnp.uint32(0))
         valid = (tc <= self.size) & in_rng & (
             (chk_raw & jnp.uint32(RESTBIT)).astype(I32) == t0
         )
         nontok = (chk_raw & jnp.uint32(FIRSTBIT)) != 0
         # separate-state hop to the representative (datok.go:1056-1063)
-        b_t = jnp.take(base, jnp.clip(tc, 0, self.n_cells - 1), mode="clip")
+        b_t = jnp.take(base, tc_c, mode="clip")
         sep = (b_t & jnp.uint32(FIRSTBIT)) != 0
         t_next = jnp.where(sep, (b_t & jnp.uint32(RESTBIT)).astype(I32), tc)
         return valid, nontok, t_next
@@ -120,21 +133,27 @@ def make_rep(tok):
     return MatrixRep(tok) if tok.type() == "MATOK" else DoubleArrayRep(tok)
 
 
+def _pack(kind, start, end):
+    return kind | (start << 2) | (end << (2 + PACK_POS_BITS))
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "unknown", "identity", "rep", "cap", "max_steps"),
+    static_argnames=("eps", "unknown", "identity", "rep", "max_steps"),
 )
-def _run_machine(tables, meta, length, *, eps, unknown, identity, rep, cap, max_steps):
+def _run_machine(tables, meta, length, *, eps, unknown, identity, rep, max_steps):
     """Run the masked transduce machine until all lanes finish.
 
     meta: (B, L) int32 packed symbol metadata; length: (B,) int32.
-    Returns (ev (B, cap, 3) int32, cnt (B,), bad (B,) bool, steps).
+    Returns (ys (max_steps, B) int32 packed events, bad (B,) bool,
+    steps used).
     """
     B, L = meta.shape
-    lanes = jnp.arange(B, dtype=I32)
 
     def cond(carry):
-        return (carry["steps"] < max_steps) & jnp.any(carry["phase"] == 0)
+        return (carry["steps"] < max_steps) & jnp.any(
+            (carry["phase"] == 0) | (carry["pend"] != 0)
+        )
 
     def step(carry):
         t = carry["t"]
@@ -151,11 +170,13 @@ def _run_machine(tables, meta, length, *, eps, unknown, identity, rep, cap, max_
         sflag = carry["sflag"]
         tflag = carry["tflag"]
         phase = carry["phase"]
-        cnt = carry["cnt"]
-        ovf = carry["ovf"]
-        ev = carry["ev"]
+        pend = carry["pend"]
+        pend2 = carry["pend2"]
+        ys = carry["ys"]
 
-        run = phase == 0
+        # Lanes with queued events drain one per step and do nothing else.
+        m_drain = pend != 0
+        run = (phase == 0) & ~m_drain
         m_new = run & newchar
         m_eof = m_new & (c >= length)
         m_read = m_new & ~m_eof
@@ -233,29 +254,24 @@ def _run_machine(tables, meta, length, *, eps, unknown, identity, rep, cap, max_
         sent_pos = jnp.where(sent2, c_cons, c)
         text_pos = jnp.where(e_m, c_cons, c)
 
-        n0 = w_tok.astype(I32)
-        n1 = w_sent.astype(I32)
-        n2 = w_text.astype(I32)
-        total = n0 + n1 + n2
-        ovf = ovf | (run & ((cnt + total) > cap))
-        wr = run & ~ovf
-        drop = jnp.int32(cap)
-        pos0 = jnp.where(wr & w_tok, cnt, drop)
-        pos1 = jnp.where(wr & w_sent, cnt + n0, drop)
-        pos2 = jnp.where(wr & w_text, cnt + n0 + n1, drop)
-        cnt = jnp.where(wr, cnt + total, cnt)
+        v_tok = _pack(EV_TOKEN, tok_start, tok_end)
+        v_sent = _pack(EV_SENT, sent_pos, sent_pos)
+        v_text = _pack(EV_TEXT, text_pos, text_pos)
 
-        ev = ev.at[lanes, pos0].set(
-            jnp.stack([jnp.full((B,), EV_TOKEN, I32), tok_start, tok_end], axis=-1),
-            mode="drop",
+        first = jnp.where(
+            w_tok, v_tok, jnp.where(w_sent, v_sent, jnp.where(w_text, v_text, 0))
         )
-        ev = ev.at[lanes, pos1].set(
-            jnp.stack([jnp.full((B,), EV_SENT, I32), sent_pos, sent_pos], axis=-1),
-            mode="drop",
+        second = jnp.where(
+            w_tok & w_sent, v_sent, jnp.where((w_tok | w_sent) & w_text, v_text, 0)
         )
-        ev = ev.at[lanes, pos2].set(
-            jnp.stack([jnp.full((B,), EV_TEXT, I32), text_pos, text_pos], axis=-1),
-            mode="drop",
+        third = jnp.where(w_tok & w_sent & w_text, v_text, 0)
+
+        emit = jnp.where(m_drain, pend, first)
+        pend_new = jnp.where(m_drain, pend2, jnp.where(run, second, pend))
+        pend2_new = jnp.where(m_drain, 0, jnp.where(run, third, pend2))
+
+        ys = jax.lax.dynamic_update_slice(
+            ys, emit.astype(I32)[None, :], (carry["steps"], 0)
         )
 
         # ---- merge state updates (paths are disjoint) -------------------
@@ -272,9 +288,7 @@ def _run_machine(tables, meta, length, *, eps, unknown, identity, rep, cap, max_
             f2 | ebt, bt_off, jnp.where(f3, c_f3, jnp.where(m_succ, c_cons, c))
         )
         b_new = jnp.where(f3, c_f3, jnp.where(m_succ & rewind, c_cons, b))
-        ft_new = jnp.where(
-            f3 | (m_succ & rewind), 0, jnp.where(cons, ft_cons, ft)
-        )
+        ft_new = jnp.where(f3 | (m_succ & rewind), 0, jnp.where(cons, ft_cons, ft))
         eps_s_new = jnp.where(f2 | f3 | ebt | (m_succ & rewind), 0, eps_s)
         eps_o_new = jnp.where(m_succ & rewind, 0, eps_o)
         newchar_new = jnp.where(
@@ -300,9 +314,9 @@ def _run_machine(tables, meta, length, *, eps, unknown, identity, rep, cap, max_
             "sflag": sflag_new,
             "tflag": tflag_new,
             "phase": phase_new,
-            "cnt": cnt,
-            "ovf": ovf,
-            "ev": ev,
+            "pend": pend_new,
+            "pend2": pend2_new,
+            "ys": ys,
             "steps": carry["steps"] + 1,
         }
 
@@ -323,14 +337,42 @@ def _run_machine(tables, meta, length, *, eps, unknown, identity, rep, cap, max_
         "sflag": fb,
         "tflag": fb,
         "phase": zeros,
-        "cnt": zeros,
-        "ovf": fb,
-        "ev": jnp.zeros((B, cap, 3), I32),
+        "pend": zeros,
+        "pend2": zeros,
+        "ys": jnp.zeros((max_steps, B), I32),
         "steps": jnp.int32(0),
     }
     out = jax.lax.while_loop(cond, step, init)
-    bad = out["ovf"] | (out["phase"] == 0)
-    return out["ev"], out["cnt"], bad, out["steps"]
+    bad = (out["phase"] == 0) | (out["pend"] != 0)
+    return out["ys"], bad, out["steps"]
+
+
+def decode_events(ys: np.ndarray, n_steps: int, lane: int) -> List[Tuple[int, int, int]]:
+    """Decode one lane's packed events (host side, numpy)."""
+    col = ys[:n_steps, lane]
+    nz = col[col != 0].astype(np.uint32)
+    kinds = (nz & 3).astype(int)
+    starts = ((nz >> 2) & PACK_POS_MASK).astype(int)
+    ends = ((nz >> (2 + PACK_POS_BITS)) & PACK_POS_MASK).astype(int)
+    return list(zip(kinds.tolist(), starts.tolist(), ends.tolist()))
+
+
+def decode_events_batch(ys: np.ndarray, n_steps: int) -> List[List[Tuple[int, int, int]]]:
+    """Vectorized decode of all lanes' packed event streams."""
+    sub = ys[:n_steps].T  # (B, steps) — row-major per lane, step order
+    mask = sub != 0
+    counts = mask.sum(axis=1)
+    flat = sub[mask].astype(np.uint32)
+    kinds = (flat & 3).astype(int)
+    starts = ((flat >> 2) & PACK_POS_MASK).astype(int)
+    ends = ((flat >> (2 + PACK_POS_BITS)) & PACK_POS_MASK).astype(int)
+    triples = list(zip(kinds.tolist(), starts.tolist(), ends.tolist()))
+    out = []
+    off = 0
+    for n in counts.tolist():
+        out.append(triples[off : off + n])
+        off += n
+    return out
 
 
 class BatchEngine:
@@ -340,20 +382,25 @@ class BatchEngine:
     state machine plus host-side formatting with oracle fallback.
     """
 
-    def __init__(self, tok, steps_factor: int = 4, event_factor: float = 1.6):
+    def __init__(self, tok, steps_factor: float = 2.0):
         self.tok = tok
         self.rep = make_rep(tok)
         self.encoder = SymbolEncoder(tok)
         self.steps_factor = steps_factor
-        self.event_factor = event_factor
         self.tables = tuple(jnp.asarray(t) for t in self.rep.tables)
 
+    def max_steps_for(self, L: int) -> int:
+        return int(self.steps_factor * L) + 64
+
     def run_raw(self, meta: np.ndarray, lengths: np.ndarray):
-        """Run the device machine; returns (ev, cnt, bad) numpy arrays."""
+        """Run the device machine; returns (ys, bad, n_steps) numpy."""
         B, L = meta.shape
-        cap = int(L * self.event_factor) + 8
-        max_steps = self.steps_factor * L + 64
-        ev, cnt, bad, steps = _run_machine(
+        if L > MAX_SEGMENT:
+            raise ValueError(
+                f"segment length {L} exceeds packed-event limit {MAX_SEGMENT}; "
+                "use the segmentation pipeline for longer streams"
+            )
+        ys, bad, steps = _run_machine(
             self.tables,
             jnp.asarray(meta),
             jnp.asarray(lengths),
@@ -361,10 +408,9 @@ class BatchEngine:
             unknown=self.rep.unknown,
             identity=self.rep.identity,
             rep=self.rep,
-            cap=cap,
-            max_steps=max_steps,
+            max_steps=self.max_steps_for(L),
         )
-        return np.asarray(ev), np.asarray(cnt), np.asarray(bad)
+        return np.asarray(ys), np.asarray(bad), int(steps)
 
     def events_batch(self, texts: Sequence[str]) -> List[List[Tuple[int, int, int]]]:
         """Boundary events per text (device path, oracle fallback)."""
@@ -373,13 +419,14 @@ class BatchEngine:
         if not texts:
             return []
         meta, lengths, _cps = self.encoder.encode_batch(texts)
-        ev, cnt, bad = self.run_raw(meta, lengths)
+        ys, bad, n_steps = self.run_raw(meta, lengths)
+        decoded = decode_events_batch(ys, n_steps)
         out = []
         for i, text in enumerate(texts):
             if bad[i]:
                 out.append(transduce_events(self.tok, text))
             else:
-                out.append([tuple(e) for e in ev[i, : cnt[i]].tolist()])
+                out.append(decoded[i])
         return out
 
     def tokenize_batch(self, texts: Sequence[str], flags: Optional[int] = None) -> List[str]:
