@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark: tokenization MB/s per chip on the mixed-German workload.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's best logged single-core matrix transduce rate
+on the same 758-byte mixed-German text — 23,678 ns for 758 bytes ≈
+32 MB/s (BASELINE.md; datok_test.go:1396).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MBPS = 32.0
+
+# The reference's benchmark text (matrix_test.go:13-21).
+BENCH_TEXT = """Der Vorsitzende der Abk. hat gewählt. Gefunden auf wikipedia.org. Ich bin unter korap@ids-mannheim.de erreichbar.
+Unsere Website ist https://korap.ids-mannheim.de/?q=Baum. Unser Server ist 10.0.10.51. Zu 50.4% ist es sicher.
+Der Termin ist am 5.9.2018.
+Ich habe die readme.txt heruntergeladen.
+Ausschalten!!! Hast Du nicht gehört???
+Ich wohne in der Weststr. und Du? Kupietz und Schmidt [2018]: Korpuslinguistik. Dieses verf***** Kleid! Ich habe die readme.txt heruntergeladen.
+Er sagte: \"Es geht mir gut!\", daraufhin ging er. &quot;Das ist von C&A!&quot; Früher bzw. später ... Sie erreichte den 1. Platz!
+Archive:  Ich bin kein zip. D'dorf Ku'damm Lu'hafen M'gladbach W'schaft.
+Mach's macht's was'n ist's haste willste kannste biste kriegste."""
+
+
+def main():
+    B = int(os.environ.get("BENCH_LANES", "8192"))
+    L = int(os.environ.get("BENCH_LEN", "1024"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    import datok_tpu as dt
+    from datok_tpu.runtime.jax_engine import BatchEngine
+
+    tok = dt.load_matrix_file("/root/reference/testdata/tokenizer_de.matok")
+    eng = BatchEngine(tok)
+
+    doc = (BENCH_TEXT * (L // len(BENCH_TEXT) + 1))[: L - 2] + ".\x04"
+    texts = [doc] * B
+    meta, lengths, _ = eng.encoder.encode_batch(texts)
+    nbytes = sum(len(t.encode()) for t in texts)
+
+    # conformance guard: the device path must match the oracle
+    sample = eng.tokenize_batch([doc])[0]
+    assert sample == tok.tokenize(doc), "device/oracle mismatch on bench doc"
+
+    # warmup/compile
+    ys, bad, steps = eng.run_raw(meta, lengths)
+    assert int(bad.sum()) == 0
+
+    t0 = time.time()
+    for _ in range(reps):
+        ys, bad, steps = eng.run_raw(meta, lengths)
+    dt_s = (time.time() - t0) / reps
+
+    mbps = nbytes / dt_s / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "tokenize_de_matrix_throughput",
+                "value": round(mbps, 2),
+                "unit": "MB/s/chip",
+                "vs_baseline": round(mbps / BASELINE_MBPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

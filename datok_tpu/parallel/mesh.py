@@ -37,8 +37,8 @@ from ..runtime.jax_engine import _run_machine, decode_events_batch, make_rep
 
 @functools.partial(jax.jit, static_argnames=("eps", "unknown", "identity", "rep", "max_steps"))
 def _run_with_stats(tables, meta, length, *, eps, unknown, identity, rep, max_steps):
-    ys, bad, steps = _run_machine(
-        tables, meta, length,
+    ys, bad, steps, exits = _run_machine(
+        tables, meta, length, jnp.ones(meta.shape[0], jnp.int32),
         eps=eps, unknown=unknown, identity=identity,
         rep=rep, max_steps=max_steps,
     )
@@ -103,7 +103,7 @@ class ShardedEngine:
         )
 
     def events_batch(self, texts: Sequence[str]):
-        from ..runtime.oracle import transduce_events
+        from ..runtime.oracle import transduce_events_fast
 
         if not texts:
             return []
@@ -113,7 +113,7 @@ class ShardedEngine:
         out = []
         for i, text in enumerate(texts):
             if bad[i]:
-                out.append(transduce_events(self.tok, text))
+                out.append(transduce_events_fast(self.tok, text))
             else:
                 out.append(decoded[i])
         return out

@@ -1,46 +1,61 @@
-"""Batched TPU transduce engine (XLA state machine).
+"""Batched TPU transduce engine (XLA state machines).
 
 Runs the reference's greedy single-backtrack transduce loop
 (/root/reference matrix.go:383-697, datok.go:830-1135) as a *masked,
-branchless* state machine over B independent input lanes:
+branchless* state machine over B independent input lanes: one loop
+iteration executes exactly one iteration of the reference's
+per-character loop for every lane in parallel — divergence
+(backtracks, retries, force-emits, epilogue) is handled with masks,
+not branches.
 
-  * one ``lax.while_loop`` iteration executes exactly one iteration of
-    the reference's per-character loop for every lane in parallel —
-    divergence (backtracks, retries, force-emits, epilogue) is handled
-    with masks, not branches;
-  * the transition table lives in HBM as a flat ``uint32`` array; the
-    per-step work is two dependent gathers (transition + ε-probe), one
-    gather of precomputed symbol metadata, and ~50 fused elementwise
-    ops;
-  * boundary events are emitted **scatter-free**: each lane emits at
-    most one packed int32 event per step (``kind | start<<2 |
-    end<<17``), written as one contiguous row into a step-indexed
-    buffer via ``dynamic_update_slice`` — TPU scatters serialize per
-    row on the scalar core and were 100×+ slower.  The rare steps that
-    produce 2–3 events (EOT, epilogue flush) queue the extras in a
-    2-deep pending register and drain them on following steps.
+Two machines share one step-semantics factory:
 
-The host decodes the (steps, B) event buffer with vectorized numpy and
-replays events through :class:`TokenWriter` for byte-identical output
-(see :mod:`datok_tpu.runtime.events`).
+**General machine** — transition/probe/meta fetched with ``jnp.take``.
+TPU lowers dynamic gathers to a *serial* scalar-core loop (~40 ns per
+element, measured), so this path is correct for any model but slow;
+it is used for the double-array representation and as the *service
+step* of the hot machine.
+
+**Hot machine** (matrix representation) — exploits the measured fact
+that the dynamic state working set of a tokenizer FST is tiny
+(hundreds of states even on mixed corpus text).  Transitions through a
+profiled hot set of H states are computed entirely on the MXU/VPU with
+zero gathers:
+
+  * the hot transition table is stored as three bf16 byte planes
+    ``(A_pad, 3H)``; a one-hot of the input symbol row-selects via
+    matmul (exact: byte values ≤ 255 are exact in bf16, accumulation
+    in f32), and a mask-reduce over H selects the current state's
+    column — no gather anywhere;
+  * packed entries carry target (hot id or full state id), the
+    nontoken flag, and the ε-availability of the *target*, so the
+    per-char ε-probe becomes a carried register instead of a lookup;
+  * per-lane input symbols come from a ring window of the transposed
+    meta array refreshed by contiguous ``dynamic_slice`` — lanes that
+    leave the window or reach a cold state simply *stall*;
+  * every K steps (or when too many lanes stall) one general step runs
+    with full serial gathers, advancing every lane exactly per the
+    reference semantics and re-deriving hot ids — cold transitions are
+    therefore exact, just amortized.
+
+Boundary events are emitted **scatter-free** (TPU scatters serialize
+per row; measured 100×+ cost): each lane emits at most one packed
+int32 event per step (``kind | start<<2 | end<<17``) written as one
+contiguous row into a step-indexed buffer, with a 2-deep pending queue
+draining the rare multi-event steps.  The host decodes lanes with
+vectorized numpy and replays events through :class:`TokenWriter` for
+byte-identical output (see :mod:`datok_tpu.runtime.events`).
 
 Lanes that exceed the step budget are flagged and transparently re-run
-through the scalar oracle by the pipeline — a correctness safety valve
-that keeps the device kernel fixed-shape.  Packed positions carry 15
+through the scalar oracle by the pipeline.  Packed positions carry 15
 bits, so one engine call handles segments up to 32 K chars; longer
 streams go through the segmentation layer.
-
-Both runtime representations are supported: the dense matrix (validity
-``cell != 0``, nontoken bit on the cell) and the double array
-(validity ``t <= check(1) && check(t) == t0``, separate-state
-representative hop), each as a small ``Rep`` adapter around the same
-step function.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -52,12 +67,21 @@ from .encode import META_A_MASK, META_EOT, META_FOUND, META_NONASCII, SymbolEnco
 from .events import EV_SENT, EV_TEXT, EV_TOKEN
 
 I32 = jnp.int32
-U32 = jnp.uint32
 
 # Packed-event layout: kind(2) | start(15) | end(15)
 PACK_POS_BITS = 15
 PACK_POS_MASK = (1 << PACK_POS_BITS) - 1
 MAX_SEGMENT = PACK_POS_MASK - 2
+
+# Hot-entry layout (3 byte planes = 24 bits):
+#   bit0 valid | bit1 hot-target | bit2 nontoken | bit3 eps-at-target |
+#   bits4.. payload (hot id if hot-target else full state id)
+_HE_VALID = 1
+_HE_HOT = 2
+_HE_NONTOK = 4
+_HE_EPS = 8
+
+RING = 128  # meta ring window rows
 
 
 class MatrixRep:
@@ -93,6 +117,7 @@ class DoubleArrayRep:
     """Base/check transition semantics (datok.go:876-901, 988-1063)."""
 
     def __init__(self, tok):
+        self.S = 0
         self.eps = int(tok.epsilon)
         self.unknown = int(tok.unknown)
         self.identity = int(tok.identity)
@@ -137,23 +162,60 @@ def _pack(kind, start, end):
     return kind | (start << 2) | (end << (2 + PACK_POS_BITS))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("eps", "unknown", "identity", "rep", "max_steps"),
-)
-def _run_machine(tables, meta, length, *, eps, unknown, identity, rep, max_steps):
-    """Run the masked transduce machine until all lanes finish.
+def _tree_select(x, idx):
+    """out[b] = x[b, idx[b]] via a log2 select tree (no gather).
 
-    meta: (B, L) int32 packed symbol metadata; length: (B,) int32.
-    Returns (ys (max_steps, B) int32 packed events, bad (B,) bool,
-    steps used).
+    XLA pattern-matches ``reduce(where(iota == idx, x, 0))`` over a
+    loop-invariant operand into a dynamic-slice/gather, which TPUs
+    execute serially per lane (~40 ns each, measured).  A binary select
+    tree stays on the VPU.  ``x``: (B, n) with n a power of two.
     """
-    B, L = meta.shape
+    n = x.shape[1]
+    assert (n & (n - 1)) == 0, "tree select needs a power-of-two width"
+    k = n // 2
+    while k >= 1:
+        bit = (idx & k) != 0
+        x = jnp.where(bit[:, None], x[:, k : 2 * k], x[:, :k])
+        k //= 2
+    return x[:, 0]
 
-    def cond(carry):
-        return (carry["steps"] < max_steps) & jnp.any(
-            (carry["phase"] == 0) | (carry["pend"] != 0)
-        )
+
+def _tree_select_shared(vec, idx):
+    """out[b] = vec[idx[b]] for a shared (n,) vector (power-of-two n)."""
+    n = vec.shape[0]
+    assert (n & (n - 1)) == 0
+    k = n // 2
+    bit = (idx & k) != 0
+    x = jnp.where(bit[:, None], vec[None, k : 2 * k], vec[None, :k])
+    k //= 2
+    while k >= 1:
+        bit = (idx & k) != 0
+        x = jnp.where(bit[:, None], x[:, k : 2 * k], x[:, :k])
+        k //= 2
+    return x[:, 0]
+
+
+def _make_step(
+    *,
+    eps,
+    unknown,
+    identity,
+    fetch_meta,
+    probe_fn,
+    fetch_trans,
+    aux_update,
+    eps1,
+    hid1,
+):
+    """Build one masked step of the reference loop.
+
+    ``fetch_meta(carry) -> (meta int32 (B,), can (B,) bool)``
+    ``probe_fn(carry) -> (B,) bool`` — ε availability at carry["t"]
+    ``fetch_trans(carry, t0, t0_hid, a) ->
+        (can, valid, nontok, t_next, t_next_hid, eps_tgt)``
+    ``aux_update(carry) -> carry`` — refresh hot-id/ε registers (service)
+    ``eps1``/``hid1`` — ε-availability and hot id of the root state.
+    """
 
     def step(carry):
         t = carry["t"]
@@ -172,40 +234,59 @@ def _run_machine(tables, meta, length, *, eps, unknown, identity, rep, max_steps
         phase = carry["phase"]
         pend = carry["pend"]
         pend2 = carry["pend2"]
-        ys = carry["ys"]
+        hid = carry["hid"]
+        t0_hid = carry["t0_hid"]
+        eps_s_hid = carry["eps_s_hid"]
+        length = carry["length"]
+        B = t.shape[0]
 
         # Lanes with queued events drain one per step and do nothing else.
         m_drain = pend != 0
-        run = (phase == 0) & ~m_drain
-        m_new = run & newchar
-        m_eof = m_new & (c >= length)
-        m_read = m_new & ~m_eof
-        m_old = run & ~newchar
+        running = (phase == 0) & ~m_drain
+        m_new0 = running & newchar
+        m_eof = m_new0 & (c >= length)
+        m_read0 = m_new0 & ~m_eof
+        m_old0 = running & ~newchar
 
-        # ---- newchar: fetch precomputed symbol metadata ----------------
-        cc = jnp.clip(c, 0, L - 1)
-        m = jnp.take_along_axis(meta, cc[:, None], axis=1)[:, 0]
-        a_new = m & META_A_MASK
-        found_new = (m & META_FOUND) != 0
-        nonascii_new = (m & META_NONASCII) != 0
-        eot_new = (m & META_EOT) != 0
+        # ---- newchar: fetch symbol metadata -----------------------------
+        meta_v, can_meta = fetch_meta(carry)
+        a_new = meta_v & META_A_MASK
+        found_new = (meta_v & META_FOUND) != 0
+        nonascii_new = (meta_v & META_NONASCII) != 0
+        eot_new = (meta_v & META_EOT) != 0
 
+        # tentative read-phase registers feed the transition fetch
+        a_t = jnp.where(m_read0, a_new, a)
+        t0_t = jnp.where(m_read0, t, t0)
+        t0_hid_t = jnp.where(m_read0, hid, t0_hid)
+
+        can_tr, valid, nontok, t_succ, t_succ_hid, eps_tgt = fetch_trans(
+            carry, t0_t, t0_hid_t, a_t
+        )
+
+        # stall: lane cannot proceed this step (hot machine only);
+        # read phase is idempotent, so re-running it later is safe.
+        stall = (m_read0 & ~can_meta) | ((m_read0 | m_old0) & ~can_tr)
+        m_read = m_read0 & ~stall
+        m_old = m_old0 & ~stall
+
+        # commit read-phase registers
         # stale-ok: only the non-ASCII path reassigns ok (matrix.go:426-434)
         ok = jnp.where(m_read, jnp.where(nonascii_new, found_new, ok), ok)
         a = jnp.where(m_read, a_new, a)
         eot = jnp.where(m_read, eot_new, eot)
         t0 = jnp.where(m_read, t, t0)
+        t0_hid = jnp.where(m_read, hid, t0_hid)
 
-        # ε availability probe / epilogue chase share one lookup on t
-        eps_here = rep.eps_avail(tables, t)
+        # ε availability probe / epilogue chase share one predicate on t
+        eps_here = probe_fn(carry)
         probe = m_read & eps_here
         eps_s = jnp.where(probe, t, eps_s)
+        eps_s_hid = jnp.where(probe, hid, eps_s_hid)
         eps_o = jnp.where(probe, c, eps_o)
 
-        # ---- transition attempt ---------------------------------------
+        # ---- transition outcome -----------------------------------------
         m_trans = m_read | m_old
-        valid, nontok, t_succ = rep.transition(tables, t0, a)
-
         m_fail = m_trans & ~valid
         f1 = m_fail & ~ok & (a == identity)
         f2 = m_fail & ~f1 & (a != eps) & (eps_s != 0)
@@ -235,7 +316,7 @@ def _run_machine(tables, meta, length, *, eps, unknown, identity, rep, max_steps
         tflag2 = jnp.where(e_m, True, tflag1)
         rewind = flush | e_m
 
-        # ---- epilogue entry (EOF break, matrix.go:637-697) -------------
+        # ---- epilogue entry (EOF break, matrix.go:637-697) ---------------
         echase = m_eof & eps_here
         ebt = m_eof & ~eps_here & (eps_s != 0)
         efin = m_eof & ~eps_here & (eps_s == 0)
@@ -245,7 +326,7 @@ def _run_machine(tables, meta, length, *, eps, unknown, identity, rep, max_steps
         efin_sent = efin & ~sflag_e
         efin_text = efin & ~tflag_e
 
-        # ---- event emission (candidates are always ordered T, S, X) ----
+        # ---- event emission (candidates are always ordered T, S, X) ------
         w_tok = flush | f3 | resid
         w_sent = sent | sent2 | efin_sent
         w_text = e_m | efin_text
@@ -266,23 +347,26 @@ def _run_machine(tables, meta, length, *, eps, unknown, identity, rep, max_steps
         )
         third = jnp.where(w_tok & w_sent & w_text, v_text, 0)
 
-        emit = jnp.where(m_drain, pend, first)
-        pend_new = jnp.where(m_drain, pend2, jnp.where(run, second, pend))
-        pend2_new = jnp.where(m_drain, 0, jnp.where(run, third, pend2))
+        act = running & ~stall
+        emit = jnp.where(m_drain, pend, jnp.where(act, first, 0))
+        pend_new = jnp.where(m_drain, pend2, jnp.where(act, second, pend))
+        pend2_new = jnp.where(m_drain, 0, jnp.where(act, third, pend2))
 
-        ys = jax.lax.dynamic_update_slice(
-            ys, emit.astype(I32)[None, :], (carry["steps"], 0)
-        )
-
-        # ---- merge state updates (paths are disjoint) -------------------
+        # ---- merge state updates (paths are disjoint) ---------------------
         # NB: f2/ebt read the post-probe backtrack register, like the
-        # reference (the probe and the failing transition share an
-        # iteration, matrix.go:442-497).
+        # reference (probe and failing transition share an iteration,
+        # matrix.go:442-497).
         bt_state = eps_s
+        bt_hid = eps_s_hid
         bt_off = eps_o
 
         t_new = jnp.where(f3, 1, jnp.where(m_succ, t_succ, t))
+        hid_new = jnp.where(f3, hid1, jnp.where(m_succ, t_succ_hid, hid))
+        eps_t_new = jnp.where(
+            f3, eps1, jnp.where(m_succ, eps_tgt, carry["eps_t"])
+        )
         t0_new = jnp.where(f2 | ebt, bt_state, jnp.where(echase, t, t0))
+        t0_hid_new = jnp.where(f2 | ebt, bt_hid, jnp.where(echase, hid, t0_hid))
         a_new2 = jnp.where(f1, unknown, jnp.where(f2 | f3 | echase | ebt, eps, a))
         c_new = jnp.where(
             f2 | ebt, bt_off, jnp.where(f3, c_f3, jnp.where(m_succ, c_cons, c))
@@ -290,6 +374,9 @@ def _run_machine(tables, meta, length, *, eps, unknown, identity, rep, max_steps
         b_new = jnp.where(f3, c_f3, jnp.where(m_succ & rewind, c_cons, b))
         ft_new = jnp.where(f3 | (m_succ & rewind), 0, jnp.where(cons, ft_cons, ft))
         eps_s_new = jnp.where(f2 | f3 | ebt | (m_succ & rewind), 0, eps_s)
+        eps_s_hid_new = jnp.where(
+            f2 | f3 | ebt | (m_succ & rewind), -1, eps_s_hid
+        )
         eps_o_new = jnp.where(m_succ & rewind, 0, eps_o)
         newchar_new = jnp.where(
             f1 | f2 | echase | ebt, False, jnp.where(f3 | m_succ, True, newchar)
@@ -299,34 +386,84 @@ def _run_machine(tables, meta, length, *, eps, unknown, identity, rep, max_steps
         tflag_new = jnp.where(f3, False, jnp.where(m_succ, tflag2, tflag))
         phase_new = jnp.where(efin, 1, phase)
 
-        return {
-            "t": t_new,
-            "t0": t0_new,
-            "a": a_new2,
-            "ok": ok,
-            "eot": eot_new2,
-            "newchar": newchar_new,
-            "eps_s": eps_s_new,
-            "eps_o": eps_o_new,
-            "c": c_new,
-            "b": b_new,
-            "ft": ft_new,
-            "sflag": sflag_new,
-            "tflag": tflag_new,
-            "phase": phase_new,
-            "pend": pend_new,
-            "pend2": pend2_new,
-            "ys": ys,
-            "steps": carry["steps"] + 1,
-        }
+        ys = jax.lax.dynamic_update_slice(
+            carry["ys"], emit.astype(I32)[None, :], (carry["steps"], 0)
+        )
 
+        out = dict(carry)
+        out.update(
+            t=t_new,
+            t0=t0_new,
+            a=a_new2,
+            ok=ok,
+            eot=eot_new2,
+            newchar=newchar_new,
+            eps_s=eps_s_new,
+            eps_o=eps_o_new,
+            c=c_new,
+            b=b_new,
+            ft=ft_new,
+            sflag=sflag_new,
+            tflag=tflag_new,
+            phase=phase_new,
+            pend=pend_new,
+            pend2=pend2_new,
+            hid=hid_new,
+            t0_hid=t0_hid_new,
+            eps_s_hid=eps_s_hid_new,
+            eps_t=eps_t_new,
+            ys=ys,
+            steps=carry["steps"] + 1,
+            stalls=jnp.sum(stall.astype(I32)),
+        )
+        return aux_update(out) if aux_update is not None else out
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# General machine: serial-gather fetches (any representation)
+# ---------------------------------------------------------------------------
+
+
+def _general_fetches(rep, tables, meta):
+    L = meta.shape[1]
+
+    def fetch_meta(carry):
+        cc = jnp.clip(carry["c"], 0, L - 1)
+        m = jnp.take_along_axis(meta, cc[:, None], axis=1)[:, 0]
+        return m, jnp.ones_like(carry["phase"], bool)
+
+    def probe_fn(carry):
+        return rep.eps_avail(tables, carry["t"])
+
+    def fetch_trans(carry, t0, t0_hid, a):
+        valid, nontok, t_next = rep.transition(tables, t0, a)
+        can = jnp.ones_like(valid)
+        return can, valid, nontok, t_next, jnp.full_like(t_next, -1), jnp.zeros_like(valid)
+
+    return fetch_meta, probe_fn, fetch_trans
+
+
+def _init_carry(B, max_steps, length, eps1, hid1, ctx_init=None, hid_init=None, epst_init=None):
     zeros = jnp.zeros(B, I32)
     fb = jnp.zeros(B, bool)
-    init = {
-        "t": jnp.ones(B, I32),
-        "t0": jnp.ones(B, I32),
+    if ctx_init is None:
+        ctx_init = jnp.ones(B, I32)
+    # packed entry context: t | sflag<<28 | tflag<<29 | ok<<30 (1 = root)
+    t_init = ctx_init & 0x0FFFFFFF
+    sflag_init = ((ctx_init >> 28) & 1) != 0
+    tflag_init = ((ctx_init >> 29) & 1) != 0
+    ok_init = ((ctx_init >> 30) & 1) != 0
+    if hid_init is None:
+        hid_init = jnp.full(B, hid1, I32)
+    if epst_init is None:
+        epst_init = jnp.full(B, eps1, bool)
+    return {
+        "t": t_init,
+        "t0": t_init,
         "a": zeros,
-        "ok": fb,
+        "ok": ok_init,
         "eot": fb,
         "newchar": jnp.ones(B, bool),
         "eps_s": zeros,
@@ -334,27 +471,317 @@ def _run_machine(tables, meta, length, *, eps, unknown, identity, rep, max_steps
         "c": zeros,
         "b": zeros,
         "ft": zeros,
-        "sflag": fb,
-        "tflag": fb,
+        "sflag": sflag_init,
+        "tflag": tflag_init,
         "phase": zeros,
         "pend": zeros,
         "pend2": zeros,
+        "hid": hid_init,
+        "t0_hid": hid_init,
+        "eps_s_hid": jnp.full(B, -1, I32),
+        "eps_t": epst_init,
         "ys": jnp.zeros((max_steps, B), I32),
         "steps": jnp.int32(0),
+        "stalls": jnp.int32(0),
+        "since": jnp.int32(0),
+        "length": length,
     }
-    out = jax.lax.while_loop(cond, step, init)
+
+
+def _finish(out):
     bad = (out["phase"] == 0) | (out["pend"] != 0)
-    return out["ys"], bad, out["steps"]
+    ctx = (
+        out["t"]
+        | (out["sflag"].astype(I32) << 28)
+        | (out["tflag"].astype(I32) << 29)
+        | (out["ok"].astype(I32) << 30)
+    )
+    return out["ys"], bad, out["steps"], ctx
 
 
-def decode_events(ys: np.ndarray, n_steps: int, lane: int) -> List[Tuple[int, int, int]]:
-    """Decode one lane's packed events (host side, numpy)."""
-    col = ys[:n_steps, lane]
-    nz = col[col != 0].astype(np.uint32)
-    kinds = (nz & 3).astype(int)
-    starts = ((nz >> 2) & PACK_POS_MASK).astype(int)
-    ends = ((nz >> (2 + PACK_POS_BITS)) & PACK_POS_MASK).astype(int)
-    return list(zip(kinds.tolist(), starts.tolist(), ends.tolist()))
+@functools.partial(
+    jax.jit, static_argnames=("eps", "unknown", "identity", "rep", "max_steps")
+)
+def _run_machine(tables, meta, length, ctx_init, *, eps, unknown, identity, rep, max_steps):
+    """General machine: run until all lanes finish (or step budget)."""
+    B, L = meta.shape
+    fm, pf, ft_ = _general_fetches(rep, tables, meta)
+    step = _make_step(
+        eps=eps,
+        unknown=unknown,
+        identity=identity,
+        fetch_meta=fm,
+        probe_fn=pf,
+        fetch_trans=ft_,
+        aux_update=None,
+        eps1=False,
+        hid1=-1,
+    )
+
+    def cond(carry):
+        return (carry["steps"] < max_steps) & jnp.any(
+            (carry["phase"] == 0) | (carry["pend"] != 0)
+        )
+
+    out = jax.lax.while_loop(
+        cond, step, _init_carry(B, max_steps, length, False, -1, ctx_init=ctx_init)
+    )
+    return _finish(out)
+
+
+# ---------------------------------------------------------------------------
+# Hot machine: MXU one-hot transitions over a profiled hot state set
+# ---------------------------------------------------------------------------
+
+
+class HotSpec:
+    """Precomputed hot-set tables for the matrix representation."""
+
+    def __init__(self, tok, hot_states: np.ndarray):
+        rep = MatrixRep(tok)
+        S, A = rep.S, rep.max_sym
+        arr = np.asarray(tok.array, dtype=np.uint32)
+        eps = rep.eps
+
+        hot_states = np.asarray(hot_states, dtype=np.int64)
+        if 1 not in hot_states:
+            hot_states = np.concatenate([[1], hot_states])
+        H = len(hot_states)
+        self.H = H
+        self.A_pad = ((A + 1 + 127) // 128) * 128
+
+        hot_index = np.full(S + 1, -1, dtype=np.int32)
+        hot_index[hot_states] = np.arange(H, dtype=np.int32)
+        self.hot_index = hot_index
+        self.hot_full = hot_states.astype(np.int32)
+        self.hid1 = int(hot_index[1])
+
+        # ε availability per state (probe semantics, matrix.go:442)
+        states = np.arange(S + 1, dtype=np.int64)
+        eps_cells = arr[(eps - 1) * S + states]
+        eps_avail = eps_cells != 0
+        eps_avail[0] = False
+        self.eps_avail = eps_avail.astype(np.uint8)
+        self.eps1 = bool(eps_avail[1])
+
+        # hot entries: (A_pad, H) packed 24-bit values
+        aa = np.arange(1, A + 1, dtype=np.int64)
+        cells = arr[((aa[:, None] - 1) * S + hot_states[None, :])]  # (A, H)
+        tgt = (cells & ~np.uint32(FIRSTBIT)).astype(np.int64)
+        nt = (cells >> 31).astype(np.int64)
+        valid = cells != 0
+        tgt_hid = hot_index[tgt]
+        is_hot = tgt_hid >= 0
+        payload = np.where(is_hot, tgt_hid, tgt)
+        entry = np.where(
+            valid,
+            _HE_VALID
+            | np.where(is_hot, _HE_HOT, 0)
+            | nt * _HE_NONTOK
+            | eps_avail[tgt] * _HE_EPS
+            | (payload << 4),
+            0,
+        ).astype(np.int64)
+        full = np.zeros((self.A_pad, H), dtype=np.int64)
+        full[1 : A + 1, :] = entry
+        self.planes = np.concatenate(
+            [(full & 0xFF), (full >> 8) & 0xFF, (full >> 16) & 0xFF], axis=1
+        ).astype(np.float32)  # (A_pad, 3H), bf16-exact byte values
+
+    def device_tables(self):
+        # hot_full padded to a power of two for the select tree
+        p2 = 1
+        while p2 < max(2, self.H):
+            p2 *= 2
+        hf = np.zeros(p2, dtype=np.int32)
+        hf[: self.H] = self.hot_full
+        return (
+            jnp.asarray(self.planes, dtype=jnp.bfloat16),
+            jnp.asarray(hf),
+            jnp.asarray(self.hot_index),
+            jnp.asarray(self.eps_avail),
+        )
+
+
+def _hot_fetches(spec: HotSpec, hot_tables):
+    planes, hot_full_p2, _hot_index, _eps_avail = hot_tables
+    H = spec.H
+    A_pad = spec.A_pad
+    P2 = hot_full_p2.shape[0]
+    iota_A = jnp.arange(A_pad, dtype=I32)
+    iota_H = jnp.arange(H, dtype=I32)
+
+    def fetch_meta(carry):
+        w = carry["w"]
+        ring = carry["ring"]  # (B, RING)
+        off = carry["c"] - w
+        can = (off >= 0) & (off < RING)
+        v = _tree_select(ring, jnp.clip(off, 0, RING - 1))
+        return v, can
+
+    def probe_fn(carry):
+        return carry["eps_t"]
+
+    def fetch_trans(carry, t0, t0_hid, a):
+        oh = ((a[:, None] == iota_A[None, :]) & (a > 0)[:, None]).astype(jnp.bfloat16)
+        rows = jnp.dot(oh, planes, preferred_element_type=jnp.float32)  # (B, 3H)
+        # rows is loop-variant (fresh matmul output), so this mask-reduce
+        # stays vectorized — only invariant operands get gather-matched.
+        msel = iota_H[None, :] == t0_hid[:, None]
+        lo = jnp.sum(jnp.where(msel, rows[:, :H], 0.0), axis=1).astype(I32)
+        mid = jnp.sum(jnp.where(msel, rows[:, H : 2 * H], 0.0), axis=1).astype(I32)
+        hi = jnp.sum(jnp.where(msel, rows[:, 2 * H :], 0.0), axis=1).astype(I32)
+        entry = lo | (mid << 8) | (hi << 16)
+        valid = (entry & _HE_VALID) != 0
+        hot_t = (entry & _HE_HOT) != 0
+        nontok = (entry & _HE_NONTOK) != 0
+        eps_tgt = (entry & _HE_EPS) != 0
+        payload = entry >> 4
+        full_hot = _tree_select_shared(hot_full_p2, jnp.clip(payload, 0, P2 - 1))
+        t_next = jnp.where(hot_t, full_hot, payload)
+        t_next_hid = jnp.where(hot_t, payload, -1)
+        can = t0_hid >= 0
+        return can, valid, nontok, t_next, t_next_hid, eps_tgt
+
+    return fetch_meta, probe_fn, fetch_trans
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "eps",
+        "unknown",
+        "identity",
+        "rep",
+        "spec",
+        "max_steps",
+        "service_k",
+    ),
+)
+def _run_machine_hot(
+    tables,
+    hot_tables,
+    meta,
+    length,
+    ctx_init,
+    hid_init,
+    epst_init,
+    *,
+    eps,
+    unknown,
+    identity,
+    rep,
+    spec,
+    max_steps,
+    service_k,
+):
+    """Hot machine: MXU hot steps + periodic general service steps."""
+    B, L = meta.shape
+    planes, hot_full, hot_index, eps_avail = hot_tables
+
+    fm_g, _pf_g, ft_g = _general_fetches(rep, tables, meta)
+    fm_h, pf_h, ft_h = _hot_fetches(spec, hot_tables)
+
+    # Combined auxiliary per-state map: (hot_index + 1) | eps_avail << 20
+    # — one serial take refreshes both registers in the service step.
+    aux_map = (hot_index.astype(jnp.int32) + 1) | (
+        eps_avail.astype(jnp.int32) << 20
+    )
+
+    def aux(carry):
+        out = dict(carry)
+        v = jnp.take(aux_map, jnp.clip(carry["t"], 0, aux_map.shape[0] - 1))
+        out["hid"] = (v & 0xFFFFF) - 1
+        out["eps_t"] = (v >> 20) != 0
+        out["since"] = jnp.int32(0)
+        return out
+
+    # The service step uses the carried ε register as its probe too —
+    # the invariant eps_t == eps_avail[t] holds at every step entry
+    # (hot steps carry it from entries; aux refreshes it after service).
+    step_general = _make_step(
+        eps=eps,
+        unknown=unknown,
+        identity=identity,
+        fetch_meta=fm_g,
+        probe_fn=pf_h,
+        fetch_trans=ft_g,
+        aux_update=aux,
+        eps1=spec.eps1,
+        hid1=spec.hid1,
+    )
+
+    def hot_aux(carry):
+        out = dict(carry)
+        out["since"] = carry["since"] + 1
+        return out
+
+    step_hot = _make_step(
+        eps=eps,
+        unknown=unknown,
+        identity=identity,
+        fetch_meta=fm_h,
+        probe_fn=pf_h,
+        fetch_trans=ft_h,
+        aux_update=hot_aux,
+        eps1=spec.eps1,
+        hid1=spec.hid1,
+    )
+
+    def live_mask(carry):
+        return (carry["phase"] == 0) | (carry["pend"] != 0)
+
+    def refresh_ring(carry):
+        # window follows the slowest live lane
+        live = live_mask(carry)
+        c_live = jnp.where(live, carry["c"], jnp.int32(1 << 28))
+        w_new = jnp.clip(jnp.min(c_live), 0, max(0, L - RING))
+        out = dict(carry)
+        out["w"] = w_new
+        out["ring"] = jax.lax.dynamic_slice(meta, (0, w_new), (B, RING))
+        return out
+
+    # NB: lax.cond inside a while body is executed as both-branches-plus-
+    # select by XLA TPU, which would pay the serial service cost every
+    # step.  Nested while loops guarantee real branching: the inner loop
+    # runs pure hot steps until a service trigger, the outer loop then
+    # runs exactly one general (serial-gather) service step.
+    inner_budget = min(service_k, RING // 2)
+
+    def inner_cond(carry):
+        live = jnp.any(live_mask(carry))
+        n_live = jnp.sum(live_mask(carry).astype(I32))
+        ok_stalls = (carry["stalls"] * 8 <= B) & (carry["stalls"] < n_live)
+        return (
+            (carry["steps"] < max_steps)
+            & live
+            & (carry["since"] < inner_budget)
+            & ok_stalls
+        )
+
+    def outer_body(carry):
+        carry = refresh_ring(carry)
+        carry = jax.lax.while_loop(inner_cond, step_hot, carry)
+        # one exact service step (no-op masks when nothing is live)
+        return step_general(carry)
+
+    def outer_cond(carry):
+        return (carry["steps"] < max_steps) & jnp.any(live_mask(carry))
+
+    init = _init_carry(
+        B, max_steps, length, spec.eps1, spec.hid1,
+        ctx_init=ctx_init, hid_init=hid_init, epst_init=epst_init,
+    )
+    init["w"] = jnp.int32(0)
+    init["ring"] = jnp.zeros((B, RING), I32)
+    init["since"] = jnp.int32(0)
+    out = jax.lax.while_loop(outer_cond, outer_body, init)
+    return _finish(out)
+
+
+# ---------------------------------------------------------------------------
+# Host-side decode + engine classes
+# ---------------------------------------------------------------------------
 
 
 def decode_events_batch(ys: np.ndarray, n_steps: int) -> List[List[Tuple[int, int, int]]]:
@@ -375,58 +802,179 @@ def decode_events_batch(ys: np.ndarray, n_steps: int) -> List[List[Tuple[int, in
     return out
 
 
+# Small built-in calibration sample for hot-state profiling (mixed
+# German/English with URLs, abbreviations, numbers, EOT, punctuation).
+_CALIBRATION = (
+    "Der Vorsitzende der Abk. hat z.B. gewählt und bzw. verlor. "
+    'Sie sagte: "Es geht mir gut!", daraufhin ging sie zur Weststr. 3. '
+    "Gefunden auf https://korap.ids-mannheim.de/?q=Baum und www.wikipedia.org. "
+    "Ich bin unter korap@ids-mannheim.de erreichbar, auch am 5.9.2018 um 14:30 Uhr. "
+    "Die Preise lagen bei 3,50 Euro bzw. 50.4% — toll!!! Oder etwa nicht??? "
+    "Don't they're we'll it's I'm isn't a test? Mr. Smith paid $4.50 on Jan. 3rd. "
+    "Dieses verf***** Kleid kostet 3,5 Mio. Euro ... D'dorf Ku'damm M'gladbach.\x04\n"
+    "Emoticons ;) :-) T__T und Emojis 😀 sowie Pfeile → und <b>XML</b> &quot; "
+    "eine readme.txt zum Herunterladen via ftp://files.example.org/pub/a.zip. "
+    "Kupietz und Schmidt (2018): Korpuslinguistik. [2018] war super, oder?\x04"
+)
+
+
+def profile_hot_states(tok, texts: Sequence[str], limit: int) -> np.ndarray:
+    """Rank states by transition-time occupancy over sample texts."""
+    from .oracle import transduce_events
+
+    counter = {}
+    for text in texts:
+        transduce_events(tok, text, state_counter=counter)
+    ranked = [s for s, _ in sorted(counter.items(), key=lambda kv: -kv[1])]
+    hot = [1] + [s for s in ranked if s != 1]
+    if len(hot) < limit:
+        # structural fill: breadth-first from the root
+        arr = np.asarray(tok.array, dtype=np.uint32).reshape(-1)
+        S = tok.state_count
+        seen = set(hot)
+        queue = list(hot)
+        qi = 0
+        A = len(arr) // (S + 1)
+        while qi < len(queue) and len(hot) < limit:
+            s = queue[qi]
+            qi += 1
+            cells = arr[np.arange(A) * S + s]
+            for cell in cells[cells != 0]:
+                tgt = int(cell & ~np.uint32(FIRSTBIT))
+                if tgt and tgt not in seen:
+                    seen.add(tgt)
+                    hot.append(tgt)
+                    queue.append(tgt)
+                    if len(hot) >= limit:
+                        break
+    return np.array(hot[:limit], dtype=np.int64)
+
+
 class BatchEngine:
     """Host-facing batched tokenization engine.
 
-    Wraps a tokenizer (matrix or double array) into a jitted device
-    state machine plus host-side formatting with oracle fallback.
+    ``accelerated=True`` (default for the matrix representation) uses
+    the MXU hot machine with periodic exact service steps; the general
+    serial-gather machine is used otherwise.
     """
 
-    def __init__(self, tok, steps_factor: float = 2.0):
+    def __init__(
+        self,
+        tok,
+        steps_factor: float = 2.0,
+        accelerated: Optional[bool] = None,
+        hot_size: int = 511,
+        service_k: int = 64,
+        profile_texts: Optional[Sequence[str]] = None,
+    ):
         self.tok = tok
         self.rep = make_rep(tok)
         self.encoder = SymbolEncoder(tok)
         self.steps_factor = steps_factor
+        self.service_k = service_k
         self.tables = tuple(jnp.asarray(t) for t in self.rep.tables)
+        if accelerated is None:
+            accelerated = tok.type() == "MATOK"
+        self.accelerated = accelerated and tok.type() == "MATOK"
+        if self.accelerated:
+            hot = profile_hot_states(
+                tok, profile_texts or [_CALIBRATION], hot_size
+            )
+            self.spec = HotSpec(tok, hot)
+            self.hot_tables = self.spec.device_tables()
 
     def max_steps_for(self, L: int) -> int:
         return int(self.steps_factor * L) + 64
 
-    def run_raw(self, meta: np.ndarray, lengths: np.ndarray):
-        """Run the device machine; returns (ys, bad, n_steps) numpy."""
+    def run_raw(
+        self,
+        meta: np.ndarray,
+        lengths: np.ndarray,
+        entries: Optional[np.ndarray] = None,
+    ):
+        """Run the device machine.
+
+        Returns (ys, bad, n_steps, exits) numpy arrays; ``entries``
+        optionally sets per-lane entry states (default: root).
+        """
         B, L = meta.shape
         if L > MAX_SEGMENT:
             raise ValueError(
                 f"segment length {L} exceeds packed-event limit {MAX_SEGMENT}; "
                 "use the segmentation pipeline for longer streams"
             )
-        ys, bad, steps = _run_machine(
-            self.tables,
-            jnp.asarray(meta),
-            jnp.asarray(lengths),
-            eps=self.rep.eps,
-            unknown=self.rep.unknown,
-            identity=self.rep.identity,
-            rep=self.rep,
-            max_steps=self.max_steps_for(L),
-        )
-        return np.asarray(ys), np.asarray(bad), int(steps)
+        if entries is None:
+            entries = np.ones(B, dtype=np.int32)
+        entries = np.asarray(entries, dtype=np.int32)
+        t_part = entries & 0x0FFFFFFF
+        if self.accelerated:
+            if L < RING:  # ring window needs at least RING meta rows
+                meta = np.pad(meta, ((0, 0), (0, RING - L)))
+                L = RING
+            hid_init = self.spec.hot_index[np.clip(t_part, 0, len(self.spec.hot_index) - 1)]
+            epst_init = self.spec.eps_avail[
+                np.clip(t_part, 0, len(self.spec.eps_avail) - 1)
+            ].astype(bool)
+            ys, bad, steps, exits = _run_machine_hot(
+                self.tables,
+                self.hot_tables,
+                jnp.asarray(meta),
+                jnp.asarray(lengths),
+                jnp.asarray(entries),
+                jnp.asarray(hid_init.astype(np.int32)),
+                jnp.asarray(epst_init),
+                eps=self.rep.eps,
+                unknown=self.rep.unknown,
+                identity=self.rep.identity,
+                rep=self.rep,
+                spec=self.spec,
+                max_steps=self.max_steps_for(L),
+                service_k=self.service_k,
+            )
+        else:
+            ys, bad, steps, exits = _run_machine(
+                self.tables,
+                jnp.asarray(meta),
+                jnp.asarray(lengths),
+                jnp.asarray(entries),
+                eps=self.rep.eps,
+                unknown=self.rep.unknown,
+                identity=self.rep.identity,
+                rep=self.rep,
+                max_steps=self.max_steps_for(L),
+            )
+        return np.asarray(ys), np.asarray(bad), int(steps), np.asarray(exits)
 
-    def events_batch(self, texts: Sequence[str]) -> List[List[Tuple[int, int, int]]]:
+    def events_batch(
+        self,
+        texts: Sequence[str],
+        entries: Optional[np.ndarray] = None,
+        return_exits: bool = False,
+    ):
         """Boundary events per text (device path, oracle fallback)."""
-        from .oracle import transduce_events
+        from .oracle import transduce_events_fast
 
         if not texts:
-            return []
+            return ([], np.zeros(0, np.int32)) if return_exits else []
         meta, lengths, _cps = self.encoder.encode_batch(texts)
-        ys, bad, n_steps = self.run_raw(meta, lengths)
+        ys, bad, n_steps, exits = self.run_raw(meta, lengths, entries)
         decoded = decode_events_batch(ys, n_steps)
+        exits = exits.copy()
         out = []
         for i, text in enumerate(texts):
             if bad[i]:
-                out.append(transduce_events(self.tok, text))
+                e0 = int(entries[i]) if entries is not None else 1
+                box = []
+                out.append(
+                    transduce_events_fast(
+                        self.tok, text, entry_state=e0, exit_box=box
+                    )
+                )
+                exits[i] = box[0] if box else 1
             else:
                 out.append(decoded[i])
+        if return_exits:
+            return out, exits
         return out
 
     def tokenize_batch(self, texts: Sequence[str], flags: Optional[int] = None) -> List[str]:

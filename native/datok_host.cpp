@@ -1,0 +1,358 @@
+// Native host runtime for datok_tpu.
+//
+// The TPU owns the transduce hot loop; these are the *host-side* hot
+// paths around it, equivalent to the reference's Go runtime glue:
+//
+//   * dt_encode      — UTF-8 bytes → codepoints + packed symbol metadata
+//                      (the sigma lookup of matrix.go:421-435, vectorized
+//                      per byte on the host feeding side)
+//   * dt_transduce   — full scalar matrix transduce emitting boundary
+//                      events (the exact loop of matrix.go:383-697); used
+//                      for fallback lanes and as a fast CPU baseline
+//   * dt_format      — event stream → output bytes with TokenWriter
+//                      parity for every flag combination
+//                      (token_writer.go:36-175)
+//
+// Exposed as a plain C ABI for ctypes; built with setup_native.py.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// UTF-8 decode + symbol metadata packing (see runtime/encode.py)
+// ---------------------------------------------------------------------------
+
+static const uint32_t META_FOUND = 1u << 16;
+static const uint32_t META_NONASCII = 1u << 17;
+static const uint32_t META_EOT = 1u << 18;
+
+// Decode UTF-8 `data[0:n]`; write codepoints to cps (capacity n) and
+// packed meta to metas.  `ascii_tab` has 256 entries; `keys`/`vals`
+// (n_keys) are the sorted non-ASCII sigma pairs; `fallback` is the
+// identity symbol or 0.  Returns number of codepoints.
+int64_t dt_encode(const uint8_t* data, int64_t n, const int32_t* ascii_tab,
+                  const int32_t* keys, const int32_t* vals, int64_t n_keys,
+                  int32_t fallback, int32_t* cps, int32_t* metas) {
+  int64_t out = 0;
+  int64_t i = 0;
+  while (i < n) {
+    uint32_t cp;
+    uint8_t b0 = data[i];
+    if (b0 < 0x80) {
+      cp = b0;
+      i += 1;
+    } else if ((b0 >> 5) == 0x6 && i + 1 < n) {
+      cp = ((b0 & 0x1F) << 6) | (data[i + 1] & 0x3F);
+      i += 2;
+    } else if ((b0 >> 4) == 0xE && i + 2 < n) {
+      cp = ((b0 & 0x0F) << 12) | ((data[i + 1] & 0x3F) << 6) |
+           (data[i + 2] & 0x3F);
+      i += 3;
+    } else if ((b0 >> 3) == 0x1E && i + 3 < n) {
+      cp = ((b0 & 0x07) << 18) | ((data[i + 1] & 0x3F) << 12) |
+           ((data[i + 2] & 0x3F) << 6) | (data[i + 3] & 0x3F);
+      i += 4;
+    } else {
+      cp = 0xFFFD;  // invalid byte: U+FFFD, advance one (Go ReadRune)
+      i += 1;
+    }
+    uint32_t meta;
+    if (cp < 256) {
+      meta = (uint32_t)ascii_tab[cp] & 0xFFFF;
+      if (cp == 4) meta |= META_EOT;
+    } else {
+      // binary search the sorted non-ASCII keys
+      int64_t lo = 0, hi = n_keys;
+      while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if ((uint32_t)keys[mid] < cp)
+          lo = mid + 1;
+        else
+          hi = mid;
+      }
+      if (lo < n_keys && (uint32_t)keys[lo] == cp) {
+        meta = ((uint32_t)vals[lo] & 0xFFFF) | META_FOUND | META_NONASCII;
+      } else {
+        meta = ((uint32_t)fallback & 0xFFFF) | META_NONASCII;
+      }
+    }
+    cps[out] = (int32_t)cp;
+    metas[out] = (int32_t)meta;
+    out++;
+  }
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// Scalar matrix transduce → events (matrix.go:383-697 semantics)
+// ---------------------------------------------------------------------------
+
+static const uint32_t FIRSTBIT = 1u << 31;
+
+// events written as triples (kind, start, end); kinds 1=TOKEN 2=SENT 3=TEXT.
+// Returns event count, or -1 if ev_cap exceeded.
+int64_t dt_transduce(const uint32_t* table, int32_t state_count, int32_t eps,
+                     int32_t unknown, int32_t identity, int32_t t_init,
+                     const int32_t* metas, int64_t n, int32_t* ev,
+                     int64_t ev_cap, int32_t* t_out) {
+  const int64_t S = state_count;
+  int64_t nev = 0;
+#define EMIT(k, s, e)                        \
+  do {                                       \
+    if (nev + 3 > ev_cap) return -1;         \
+    ev[nev++] = (k);                         \
+    ev[nev++] = (int32_t)(s);                \
+    ev[nev++] = (int32_t)(e);                \
+  } while (0)
+
+  uint32_t t = (uint32_t)t_init & 0x0FFFFFFF;
+  int64_t t0 = 0;
+  int32_t a = 0;
+  bool ok = ((t_init >> 30) & 1) != 0, eot = false, newchar = true;
+  int64_t eps_state = 0, eps_offset = 0;
+  bool sentence_end = ((t_init >> 28) & 1) != 0;
+  bool text_end = ((t_init >> 29) & 1) != 0;
+  int64_t b = 0, ft = 0, c = 0;
+  bool in_loop = true;
+
+  for (;;) {
+    if (in_loop) {
+      if (newchar) {
+        if (c >= n) {
+          in_loop = false;
+          continue;
+        }
+        uint32_t m = (uint32_t)metas[c];
+        a = (int32_t)(m & 0xFFFF);
+        eot = (m & META_EOT) != 0;
+        if (m & META_NONASCII) ok = (m & META_FOUND) != 0;
+        t0 = (int64_t)t;
+        if (table[(int64_t)(eps - 1) * S + t0] != 0) {
+          eps_state = t0;
+          eps_offset = c;
+        }
+      }
+      uint32_t traw = (a == 0) ? 0u : table[(int64_t)(a - 1) * S + t0];
+      if (traw == 0) {
+        if (!ok && a == identity) {
+          a = unknown;
+          newchar = false;
+          eot = false;
+          continue;
+        } else if (a != eps && eps_state != 0) {
+          t0 = eps_state;
+          eps_state = 0;
+          c = eps_offset;
+          a = eps;
+          newchar = false;
+          eot = false;
+          continue;
+        } else {
+          if (c - b - ft <= 0) c++;
+          EMIT(1, b + ft, c);
+          sentence_end = false;
+          text_end = false;
+          b = c;
+          ft = 0;
+          eps_state = 0;
+          a = eps;
+          t = 1;
+          newchar = true;
+          continue;
+        }
+      }
+      // success
+      bool rewind = false;
+      bool nontoken = (traw & FIRSTBIT) != 0;
+      if (a == eps) {
+        if (c - b > ft) {
+          EMIT(1, b + ft, c);
+          rewind = true;
+          sentence_end = false;
+          text_end = false;
+        } else {
+          sentence_end = true;
+          EMIT(2, c, c);
+        }
+      } else {
+        c++;
+        if ((c - b) - ft == 1 && nontoken) ft++;
+      }
+      if (eot) {
+        eot = false;
+        if (!sentence_end) {
+          sentence_end = true;
+          EMIT(2, c, c);
+        }
+        text_end = true;
+        EMIT(3, c, c);
+        rewind = true;
+      }
+      if (rewind) {
+        b = c;
+        ft = 0;
+        eps_offset = 0;
+        eps_state = 0;
+      }
+      t = traw & ~FIRSTBIT;
+      newchar = true;
+      continue;
+    }
+    // epilogue
+    t0 = (int64_t)t;
+    a = eps;
+    newchar = false;
+    if (table[(int64_t)(eps - 1) * S + t0] != 0) {
+      in_loop = true;
+      continue;
+    }
+    if (eps_state != 0) {
+      t0 = eps_state;
+      eps_state = 0;
+      c = eps_offset;
+      in_loop = true;
+      continue;
+    }
+    break;
+  }
+  if (c - b > ft) {
+    EMIT(1, b + ft, c);
+    sentence_end = false;
+    text_end = false;
+  }
+  if (!sentence_end) EMIT(2, c, c);
+  if (!text_end) EMIT(3, c, c);
+#undef EMIT
+  if (t_out)
+    *t_out = (int32_t)(t | ((uint32_t)sentence_end << 28) |
+                       ((uint32_t)text_end << 29) | ((uint32_t)ok << 30));
+  return nev / 3;
+}
+
+// ---------------------------------------------------------------------------
+// Event formatting with TokenWriter parity (token_writer.go:36-175)
+// ---------------------------------------------------------------------------
+
+static const int F_TOKENS = 1;
+static const int F_SENTENCES = 2;
+static const int F_TOKEN_POS = 4;
+static const int F_SENTENCE_POS = 8;
+static const int F_NEWLINE_AFTER_EOT = 16;
+
+struct DtWriter {
+  int flags;
+  std::string out;
+  int64_t pos_c = 0;
+  std::vector<int64_t> pos;
+  bool sent_b = true;
+  std::vector<int64_t> sent;
+  bool init = true;
+};
+
+static void append_utf8(std::string& s, const int32_t* cps, int64_t a,
+                        int64_t b) {
+  for (int64_t i = a; i < b; i++) {
+    uint32_t cp = (uint32_t)cps[i];
+    if (cp < 0x80) {
+      s.push_back((char)cp);
+    } else if (cp < 0x800) {
+      s.push_back((char)(0xC0 | (cp >> 6)));
+      s.push_back((char)(0x80 | (cp & 0x3F)));
+    } else if (cp < 0x10000) {
+      s.push_back((char)(0xE0 | (cp >> 12)));
+      s.push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+      s.push_back((char)(0x80 | (cp & 0x3F)));
+    } else {
+      s.push_back((char)(0xF0 | (cp >> 18)));
+      s.push_back((char)(0x80 | ((cp >> 12) & 0x3F)));
+      s.push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+      s.push_back((char)(0x80 | (cp & 0x3F)));
+    }
+  }
+}
+
+static void append_list(std::string& s, const std::vector<int64_t>& v) {
+  char buf[24];
+  for (size_t i = 0; i < v.size(); i++) {
+    if (i) s.push_back(' ');
+    int len = snprintf(buf, sizeof buf, "%lld", (long long)v[i]);
+    s.append(buf, len);
+  }
+  s.push_back('\n');
+}
+
+DtWriter* dt_writer_new(int flags) { return new DtWriter{flags}; }
+void dt_writer_free(DtWriter* w) { delete w; }
+
+// Replay one document's events.  `cps` are the document codepoints,
+// `base0` the replay base (0 for a fresh document).
+void dt_writer_feed(DtWriter* w, const int32_t* ev, int64_t nev,
+                    const int32_t* cps, int64_t n_cps) {
+  int64_t base = 0;
+  int f = w->flags;
+  for (int64_t i = 0; i < nev; i++) {
+    int32_t kind = ev[i * 3];
+    int64_t start = ev[i * 3 + 1];
+    int64_t end = ev[i * 3 + 2];
+    if (kind == 1) {  // TOKEN(offset=start-base, buf=cps[base:end])
+      int64_t offset = start - base;
+      if (f & (F_TOKEN_POS | F_SENTENCE_POS)) {
+        if (w->pos_c == 0 && (f & F_NEWLINE_AFTER_EOT) && end > base &&
+            cps[base] == '\n' && !w->init)
+          w->pos_c--;
+        w->init = false;
+        w->pos_c += offset;
+        w->pos.push_back(w->pos_c);
+        if (w->sent_b) {
+          w->sent_b = false;
+          w->sent.push_back(w->pos_c);
+        }
+        w->pos_c += (end - base) - offset;
+        w->pos.push_back(w->pos_c);
+        if (f & F_TOKENS) {
+          append_utf8(w->out, cps, start, end);
+          w->out.push_back('\n');
+        }
+      } else if (f & F_TOKENS) {
+        append_utf8(w->out, cps, start, end);
+        w->out.push_back('\n');
+      }
+      base = end;
+    } else if (kind == 2) {  // SENT
+      if (f & F_SENTENCE_POS) {
+        w->sent.push_back(w->pos.empty() ? 0 : w->pos.back());
+        w->sent_b = true;
+        if (f & F_SENTENCES) w->out.push_back('\n');
+      } else if (f & F_SENTENCES) {
+        w->out.push_back('\n');
+      }
+    } else if (kind == 3) {  // TEXT
+      if (f & (F_TOKEN_POS | F_SENTENCE_POS)) {
+        if (f & F_TOKEN_POS) append_list(w->out, w->pos);
+        if (f & F_SENTENCE_POS) {
+          append_list(w->out, w->sent);
+          w->sent.clear();
+          w->sent_b = true;
+        }
+        w->pos_c = 0;
+        w->pos.clear();
+      } else {
+        w->out.push_back('\n');
+      }
+      base = end;
+    }
+  }
+}
+
+int64_t dt_writer_size(DtWriter* w) { return (int64_t)w->out.size(); }
+void dt_writer_copy(DtWriter* w, uint8_t* dst) {
+  memcpy(dst, w->out.data(), w->out.size());
+}
+void dt_writer_reset_output(DtWriter* w) { w->out.clear(); }
+
+}  // extern "C"

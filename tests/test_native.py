@@ -1,0 +1,62 @@
+"""Native C++ host runtime parity (encode / transduce / format)."""
+
+import numpy as np
+import pytest
+
+import datok_tpu as dt
+from datok_tpu.runtime.encode import SymbolEncoder, text_to_codepoints
+from datok_tpu.runtime.events import format_events
+from datok_tpu.runtime.oracle import transduce_events, transduce_events_fast
+from datok_tpu.utils.native import (
+    NativeWriter,
+    get_lib,
+    native_encode,
+    native_transduce_events,
+)
+
+pytestmark = pytest.mark.skipif(get_lib() is None, reason="native lib unavailable")
+
+TEXTS = [
+    "Der alte Mann aß z.B. Äpfel... \x04Früh läuft's!",
+    "",
+    "a\x04😀 toll!",
+    "Erste.\n\n\n\n\x04\x0aNächst.\x04",
+    "  wald   gehen Da kann\t man was \"erleben\"!",
+    "This.\x0a\x04And.\n\x04\n",
+]
+
+
+@pytest.fixture(scope="module")
+def enc(mat_de):
+    return SymbolEncoder(mat_de)
+
+
+@pytest.mark.parametrize("text", TEXTS)
+def test_native_encode_parity(mat_de, enc, text):
+    cps, metas = native_encode(enc, text.encode("utf-8"))
+    ref_cps = text_to_codepoints(text)
+    assert np.array_equal(cps, ref_cps)
+    if len(ref_cps):
+        assert np.array_equal(metas, enc.encode(ref_cps))
+
+
+@pytest.mark.parametrize("text", TEXTS)
+def test_native_transduce_parity(mat_de, enc, text):
+    _cps, metas = native_encode(enc, text.encode("utf-8"))
+    ev = native_transduce_events(mat_de, metas)
+    assert ev == transduce_events(mat_de, text)
+
+
+def test_native_writer_all_flags(mat_de, enc):
+    text = "This.\x0a\x04And.\n\x04\n"
+    cps, metas = native_encode(enc, text.encode("utf-8"))
+    ev = native_transduce_events(mat_de, metas)
+    for flags in range(0, 32):
+        w = NativeWriter(flags)
+        w.feed(ev, cps)
+        assert w.getvalue() == format_events(ev, text, flags), flags
+
+
+def test_fast_oracle_dispatch(mat_de):
+    text = "Der alte Mann. Und z.B. readme.txt!"
+    assert transduce_events_fast(mat_de, text) == transduce_events(mat_de, text)
