@@ -201,6 +201,22 @@ class DaTokenizer:
         """Kanda et al. (2018) non-empty ratio (datok.go:478-480)."""
         return self.trans_count() / len(self.base) * 100
 
+    def outgoing(self, t: int):
+        """List valid outgoing symbol ids of a state, negated for the
+        special symbols — debug introspection (datok.go:433-454)."""
+        size = self.get_size()
+        base_t = int(self.base[t] & RESTBIT)
+        valid = []
+        for a in self.sigma.values():
+            t1 = base_t + a
+            if t1 <= size and t1 < len(self.check) and int(self.check[t1] & RESTBIT) == t:
+                valid.append(a)
+        for a in (self.epsilon, self.unknown, self.identity, self.final):
+            t1 = base_t + a
+            if t1 <= size and t1 < len(self.check) and int(self.check[t1] & RESTBIT) == t:
+                valid.append(-a)
+        return sorted(valid)
+
     # -- serialization ---------------------------------------------------
     def to_bytes(self) -> bytes:
         out = bytearray()

@@ -234,6 +234,7 @@ def _make_step(
         phase = carry["phase"]
         pend = carry["pend"]
         pend2 = carry["pend2"]
+        ckpt = carry["ckpt"]
         hid = carry["hid"]
         t0_hid = carry["t0_hid"]
         eps_s_hid = carry["eps_s_hid"]
@@ -244,8 +245,13 @@ def _make_step(
         m_drain = pend != 0
         running = (phase == 0) & ~m_drain
         m_new0 = running & newchar
-        m_eof = m_new0 & (c >= length)
-        m_read0 = m_new0 & ~m_eof
+        m_end = m_new0 & (c >= length)
+        # chained segmentation: cut lanes stop cleanly before the
+        # epilogue — their full machine state is handed to the next
+        # segment instead of flushing (SURVEY.md §5 long-context)
+        m_cut = m_end & carry["stop"]
+        m_eof = m_end & ~carry["stop"]
+        m_read0 = m_new0 & ~m_end
         m_old0 = running & ~newchar
 
         # ---- newchar: fetch symbol metadata -----------------------------
@@ -384,7 +390,18 @@ def _make_step(
         eot_new2 = jnp.where(f1 | f2 | m_succ, False, eot)
         sflag_new = jnp.where(f3, False, jnp.where(m_succ, sflag2, sflag))
         tflag_new = jnp.where(f3, False, jnp.where(m_succ, tflag2, tflag))
-        phase_new = jnp.where(efin, 1, phase)
+        phase_new = jnp.where(efin | m_cut, 1, phase)
+        # checkpoint the machine context at rewinds: the buffer base b
+        # restarts here with zeroed registers, so a later segment can
+        # resume exactly by re-reading text from b in this context
+        ckpt_new = jnp.where(
+            f3 | (m_succ & rewind),
+            t_new
+            | (sflag_new.astype(I32) << 28)
+            | (tflag_new.astype(I32) << 29)
+            | (ok.astype(I32) << 30),
+            ckpt,
+        )
 
         ys = jax.lax.dynamic_update_slice(
             carry["ys"], emit.astype(I32)[None, :], (carry["steps"], 0)
@@ -408,6 +425,7 @@ def _make_step(
             phase=phase_new,
             pend=pend_new,
             pend2=pend2_new,
+            ckpt=ckpt_new,
             hid=hid_new,
             t0_hid=t0_hid_new,
             eps_s_hid=eps_s_hid_new,
@@ -445,11 +463,14 @@ def _general_fetches(rep, tables, meta):
     return fetch_meta, probe_fn, fetch_trans
 
 
-def _init_carry(B, max_steps, length, eps1, hid1, ctx_init=None, hid_init=None, epst_init=None):
+def _init_carry(B, max_steps, length, eps1, hid1, ctx_init=None, hid_init=None,
+                epst_init=None, stop_flags=None):
     zeros = jnp.zeros(B, I32)
     fb = jnp.zeros(B, bool)
     if ctx_init is None:
         ctx_init = jnp.ones(B, I32)
+    if stop_flags is None:
+        stop_flags = fb
     # packed entry context: t | sflag<<28 | tflag<<29 | ok<<30 (1 = root)
     t_init = ctx_init & 0x0FFFFFFF
     sflag_init = ((ctx_init >> 28) & 1) != 0
@@ -485,6 +506,8 @@ def _init_carry(B, max_steps, length, eps1, hid1, ctx_init=None, hid_init=None, 
         "stalls": jnp.int32(0),
         "since": jnp.int32(0),
         "length": length,
+        "stop": stop_flags,
+        "ckpt": ctx_init,
     }
 
 
@@ -496,13 +519,15 @@ def _finish(out):
         | (out["tflag"].astype(I32) << 29)
         | (out["ok"].astype(I32) << 30)
     )
-    return out["ys"], bad, out["steps"], ctx
+    state = jnp.stack([ctx, out["ckpt"], out["b"], out["c"]], axis=-1)
+    return out["ys"], bad, out["steps"], state
 
 
 @functools.partial(
     jax.jit, static_argnames=("eps", "unknown", "identity", "rep", "max_steps")
 )
-def _run_machine(tables, meta, length, ctx_init, *, eps, unknown, identity, rep, max_steps):
+def _run_machine(tables, meta, length, ctx_init, stop_flags=None,
+                 *, eps, unknown, identity, rep, max_steps):
     """General machine: run until all lanes finish (or step budget)."""
     B, L = meta.shape
     fm, pf, ft_ = _general_fetches(rep, tables, meta)
@@ -524,7 +549,12 @@ def _run_machine(tables, meta, length, ctx_init, *, eps, unknown, identity, rep,
         )
 
     out = jax.lax.while_loop(
-        cond, step, _init_carry(B, max_steps, length, False, -1, ctx_init=ctx_init)
+        cond,
+        step,
+        _init_carry(
+            B, max_steps, length, False, -1, ctx_init=ctx_init,
+            stop_flags=stop_flags,
+        ),
     )
     return _finish(out)
 
@@ -666,6 +696,7 @@ def _run_machine_hot(
     ctx_init,
     hid_init,
     epst_init,
+    stop_flags=None,
     *,
     eps,
     unknown,
@@ -771,6 +802,7 @@ def _run_machine_hot(
     init = _init_carry(
         B, max_steps, length, spec.eps1, spec.hid1,
         ctx_init=ctx_init, hid_init=hid_init, epst_init=epst_init,
+        stop_flags=stop_flags,
     )
     init["w"] = jnp.int32(0)
     init["ring"] = jnp.zeros((B, RING), I32)
@@ -886,16 +918,19 @@ class BatchEngine:
     def max_steps_for(self, L: int) -> int:
         return int(self.steps_factor * L) + 64
 
-    def run_raw(
+    def run_raw_device(
         self,
         meta: np.ndarray,
         lengths: np.ndarray,
         entries: Optional[np.ndarray] = None,
+        stops: Optional[np.ndarray] = None,
     ):
-        """Run the device machine.
+        """Run the device machine; returns *device* arrays.
 
-        Returns (ys, bad, n_steps, exits) numpy arrays; ``entries``
-        optionally sets per-lane entry states (default: root).
+        Benchmarks time this with ``jax.block_until_ready``: through
+        the development TPU tunnel the device→host copy of the event
+        buffer dominates wall clock ~20×, while on production hardware
+        it rides PCIe.
         """
         B, L = meta.shape
         if L > MAX_SEGMENT:
@@ -907,6 +942,9 @@ class BatchEngine:
             entries = np.ones(B, dtype=np.int32)
         entries = np.asarray(entries, dtype=np.int32)
         t_part = entries & 0x0FFFFFFF
+        stop_flags = None if stops is None else jnp.asarray(
+            np.asarray(stops, dtype=bool)
+        )
         if self.accelerated:
             if L < RING:  # ring window needs at least RING meta rows
                 meta = np.pad(meta, ((0, 0), (0, RING - L)))
@@ -915,7 +953,7 @@ class BatchEngine:
             epst_init = self.spec.eps_avail[
                 np.clip(t_part, 0, len(self.spec.eps_avail) - 1)
             ].astype(bool)
-            ys, bad, steps, exits = _run_machine_hot(
+            ys, bad, steps, state = _run_machine_hot(
                 self.tables,
                 self.hot_tables,
                 jnp.asarray(meta),
@@ -923,6 +961,7 @@ class BatchEngine:
                 jnp.asarray(entries),
                 jnp.asarray(hid_init.astype(np.int32)),
                 jnp.asarray(epst_init),
+                stop_flags,
                 eps=self.rep.eps,
                 unknown=self.rep.unknown,
                 identity=self.rep.identity,
@@ -932,18 +971,43 @@ class BatchEngine:
                 service_k=self.service_k,
             )
         else:
-            ys, bad, steps, exits = _run_machine(
+            ys, bad, steps, state = _run_machine(
                 self.tables,
                 jnp.asarray(meta),
                 jnp.asarray(lengths),
                 jnp.asarray(entries),
+                stop_flags,
                 eps=self.rep.eps,
                 unknown=self.rep.unknown,
                 identity=self.rep.identity,
                 rep=self.rep,
                 max_steps=self.max_steps_for(L),
             )
-        return np.asarray(ys), np.asarray(bad), int(steps), np.asarray(exits)
+        return ys, bad, steps, state
+
+    def run_raw(
+        self,
+        meta: np.ndarray,
+        lengths: np.ndarray,
+        entries: Optional[np.ndarray] = None,
+        stops: Optional[np.ndarray] = None,
+    ):
+        """Run the device machine.
+
+        Returns (ys, bad, n_steps, state) numpy arrays where ``state``
+        is (B, 4): packed exit ctx, rewind-checkpoint ctx, b (pending
+        token start), c (cursor).  ``entries`` optionally sets per-lane
+        packed entry contexts; ``stops`` marks lanes that cut at
+        segment end instead of running the EOF epilogue.
+        """
+        ys, bad, steps, state = self.run_raw_device(meta, lengths, entries, stops)
+        n_steps = int(steps)
+        return (
+            np.asarray(ys[:n_steps]),
+            np.asarray(bad),
+            n_steps,
+            np.asarray(state),
+        )
 
     def events_batch(
         self,
@@ -957,9 +1021,9 @@ class BatchEngine:
         if not texts:
             return ([], np.zeros(0, np.int32)) if return_exits else []
         meta, lengths, _cps = self.encoder.encode_batch(texts)
-        ys, bad, n_steps, exits = self.run_raw(meta, lengths, entries)
+        ys, bad, n_steps, state = self.run_raw(meta, lengths, entries)
         decoded = decode_events_batch(ys, n_steps)
-        exits = exits.copy()
+        exits = state[:, 0].copy()
         out = []
         for i, text in enumerate(texts):
             if bad[i]:

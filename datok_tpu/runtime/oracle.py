@@ -42,7 +42,8 @@ _CP_EOT = EOT
 
 
 def transduce_events(
-    tok, text: str, state_counter=None, entry_state: int = 1, exit_box=None
+    tok, text: str, state_counter=None, entry_state: int = 1, exit_box=None,
+    debug: bool = False,
 ) -> List[Event]:
     """Run the exact transduce loop; return the boundary event stream.
 
@@ -121,6 +122,9 @@ def transduce_events(
                     eps_offset = c
 
             # Transition attempt
+            if debug:
+                ch = text[c] if c < n else "<EOF>"
+                print(f"Check {t0} - {a} ( {ch!r} ) c={c} b={b} ft={ft}")
             if state_counter is not None:
                 state_counter[t0] = state_counter.get(t0, 0) + 1
             if is_da:

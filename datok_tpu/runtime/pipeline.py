@@ -10,9 +10,12 @@ are replayed in order through one TokenWriter, which reproduces the
 reference's single-stream output byte for byte (including position
 counters that persist across texts).
 
-Documents longer than the packed-event segment limit fall back to the
-scalar oracle (the segmentation/stitching layer handles them on
-device in a later milestone).
+Documents longer than the packed-event segment limit run on device as
+*chained segments* (``events_long_batch``): each segment stops cleanly
+at its cut and hands the machine context checkpointed at its last
+buffer rewind to the next segment, which re-reads only the pending
+token's text — exact for any input, with host fallback for
+pathological single tokens longer than a segment.
 """
 
 from __future__ import annotations
@@ -117,6 +120,103 @@ def eot_split_safe(tok) -> bool:
     return safe
 
 
+def events_long_batch(
+    engine: BatchEngine,
+    docs: Sequence[str],
+    seg_len: int = 8192,
+    entries: Optional[np.ndarray] = None,
+):
+    """Transduce long documents on device via chained segmentation.
+
+    Each document is processed as fixed-length segments; a segment cuts
+    cleanly at its end (no EOF epilogue).  The machine checkpoints its
+    packed context at every buffer rewind — the point where all
+    backtrack registers are provably reset (matrix.go:608-627) — so the
+    next segment resumes exactly by re-reading from the pending token's
+    start in the checkpointed context (SURVEY.md §5 "long-context":
+    exit-state chaining; the backtrack window never crosses the last
+    emitted token, so the re-read is at most one token plus trailing
+    whitespace).  Trailing sentence-end events after the last rewind
+    are dropped from the cut segment because the resumed replay
+    re-emits them.  Segments of one document are sequential;
+    *different documents' segments run as parallel lanes*, so
+    corpus-level parallelism is preserved.
+
+    Returns (events, exit_ctxs) with absolute positions per document.
+    """
+    from .oracle import transduce_events_fast
+
+    n = len(docs)
+    events: List[List] = [[] for _ in range(n)]
+    pos = [0] * n  # current segment origin per doc
+    ctx = np.ones(n, dtype=np.int32)
+    if entries is not None:
+        ctx[:] = entries
+    orig_entry = ctx.copy()
+    done = [len(d) == 0 for d in docs]
+    exit_ctx = np.ones(n, dtype=np.int32)
+
+    def host_whole_doc(k: int) -> None:
+        """Exact host fallback: redo document k from scratch."""
+        box: List[int] = []
+        evs = transduce_events_fast(
+            engine.tok, docs[k], entry_state=int(orig_entry[k]), exit_box=box
+        )
+        events[k] = list(evs)
+        exit_ctx[k] = box[0] if box else 1
+        done[k] = True
+
+    while not all(done):
+        lanes = [k for k in range(n) if not done[k]]
+        seg_texts = []
+        is_last = []
+        for k in lanes:
+            seg = docs[k][pos[k] : pos[k] + seg_len]
+            seg_texts.append(seg)
+            is_last.append(pos[k] + seg_len >= len(docs[k]))
+        meta, lengths, _ = engine.encoder.encode_batch(seg_texts)
+        ys, bad, n_steps, state = engine.run_raw(
+            meta,
+            lengths,
+            entries=ctx[lanes],
+            stops=~np.asarray(is_last),
+        )
+        decoded = decode_events_batch_from(ys, n_steps)
+        for j, k in enumerate(lanes):
+            if bad[j]:
+                host_whole_doc(k)
+                continue
+            off = pos[k]
+            if is_last[j]:
+                events[k].extend(
+                    (kd, s + off, e + off) for kd, s, e in decoded[j]
+                )
+                exit_ctx[k] = int(state[j, 0])
+                done[k] = True
+            else:
+                b_exit = int(state[j, 2])
+                if b_exit <= 0:
+                    # pending token spans the whole segment — exact
+                    # host fallback rather than spinning
+                    host_whole_doc(k)
+                    continue
+                evs = decoded[j]
+                # trailing sentence-end events after the last rewind are
+                # re-emitted by the next segment's replay — drop them
+                while evs and evs[-1][0] == 2:
+                    evs = evs[:-1]
+                events[k].extend((kd, s + off, e + off) for kd, s, e in evs)
+                ctx[k] = int(state[j, 1])  # checkpoint context at b
+                pos[k] += b_exit
+    return events, exit_ctx
+
+
+def decode_events_batch_from(ys, n_steps):
+    from .jax_engine import decode_events_batch
+
+    return decode_events_batch(ys, n_steps)
+
+
 def tokenize_stream(
     tok,
     text: str,
@@ -182,13 +282,16 @@ def tokenize_stream(
                     events[k] = ev
                     exits[k] = ex
                     have[k] = True
-            for k in large:
-                box = []
-                events[k] = transduce_events_fast(
-                    tok, docs[k], entry_state=int(entries[k]), exit_box=box
+            if large:
+                # long documents: device-side chained segmentation,
+                # parallel across the long documents of this wave
+                evs_l, exits_l = events_long_batch(
+                    engine, [docs[k] for k in large], entries=entries[large]
                 )
-                exits[k] = box[0] if box else 1
-                have[k] = True
+                for k, ev, ex in zip(large, evs_l, exits_l):
+                    events[k] = ev
+                    exits[k] = ex
+                    have[k] = True
         if verified_safe:
             break  # exits provably return to root; no chaining needed
         # verify the chain: a mismatched entry invalidates the successor

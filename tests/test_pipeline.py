@@ -65,3 +65,34 @@ def test_cli_convert_and_tokenize(tmp_path, capsys):
     rc = main(["tokenize", "-t", str(out), str(inp)])
     assert rc == 0
     assert capsys.readouterr().out == "Der\nalte\nMann\n.\n\n\n"
+
+
+def test_long_document_segmentation(mat_de):
+    from datok_tpu.runtime.jax_engine import BatchEngine
+    from datok_tpu.runtime.oracle import transduce_events
+    from datok_tpu.runtime.pipeline import events_long_batch
+
+    eng = BatchEngine(mat_de)
+    base = (
+        "Der Vorsitzende der Abk. hat z.B. gewählt. Bald darauf folgte, "
+        'laut "Bericht", die 2. Wahl am 5.9.2018 auf wikipedia.org!\n'
+    )
+    docs = [
+        base * 40,                        # ~5 KB, segments chained
+        "Der alte Mann. " * 300,
+        base[:300],                        # shorter than one segment
+        "x" * 2500 + " kurz.",            # token spanning segments → fallback
+        "A\x04" + base * 20 + "\x04Ende.",  # EOTs inside a long doc
+    ]
+    evs, exits = events_long_batch(eng, docs, seg_len=1024)
+    for d, e in zip(docs, evs):
+        assert e == transduce_events(mat_de, d), len(d)
+
+
+def test_stream_with_long_docs(mat_de):
+    base = "Ein Satz mit Wörtern und z.B. Abkürzungen bzw. Zahlen wie 3,5 Mio. "
+    stream = (base * 600) + "\x04" + (base * 3) + "\x04kurz"
+    from datok_tpu.runtime.jax_engine import BatchEngine
+
+    w = tokenize_stream(mat_de, stream)
+    assert w.getvalue() == mat_de.tokenize(stream)
