@@ -15,6 +15,7 @@ input stream into per-``\\x04`` documents for lane parallelism).
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 from .fsa.double_array import DaTokenizer
@@ -117,9 +118,30 @@ def main(argv=None) -> int:
         help="Use the MXU hot-path engine (matrix models)",
     )
 
+    c2 = sub.add_parser(
+        "corpus", help="Tokenize many files resumably (shard manifest)"
+    )
+    c2.add_argument("-t", "--tokenizer", required=True)
+    c2.add_argument("-o", "--out-dir", required=True)
+    c2.add_argument("files", nargs="+")
+    c2.add_argument("--tokens", action=argparse.BooleanOptionalAction, default=True)
+    c2.add_argument("--sentences", action=argparse.BooleanOptionalAction, default=True)
+    c2.add_argument("-p", "--token-positions", action="store_true", default=False)
+    c2.add_argument("--sentence-positions", action="store_true", default=False)
+    c2.add_argument("--newline-after-eot", action="store_true", default=False)
+
     args = p.parse_args(argv)
     if args.cmd == "convert":
         return cmd_convert(args)
+    if args.cmd == "corpus":
+        from .fsa.io import load_tokenizer_file as _load
+        from .runtime.corpus import CorpusRunner
+
+        tok = _load(args.tokenizer)
+        runner = CorpusRunner(tok, args.out_dir, flags=make_flags(args))
+        stats = runner.run(args.files, verbose=True)
+        print(json.dumps(stats))
+        return 0
     return cmd_tokenize(args)
 
 

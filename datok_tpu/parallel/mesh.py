@@ -37,7 +37,7 @@ from ..runtime.jax_engine import _run_machine, decode_events_batch, make_rep
 
 @functools.partial(jax.jit, static_argnames=("eps", "unknown", "identity", "rep", "max_steps"))
 def _run_with_stats(tables, meta, length, *, eps, unknown, identity, rep, max_steps):
-    ys, bad, steps, exits = _run_machine(
+    ys, bad, steps, state = _run_machine(
         tables, meta, length, jnp.ones(meta.shape[0], jnp.int32),
         eps=eps, unknown=unknown, identity=identity,
         rep=rep, max_steps=max_steps,
@@ -49,7 +49,7 @@ def _run_with_stats(tables, meta, length, *, eps, unknown, identity, rep, max_st
     sents = jnp.sum(kinds == EV_SENT)
     texts = jnp.sum(kinds == EV_TEXT)
     chars = jnp.sum(length)
-    return ys, bad, steps, jnp.stack([tokens, sents, texts, chars])
+    return ys, bad, steps, jnp.stack([tokens, sents, texts, chars]), state
 
 
 class ShardedEngine:
@@ -89,12 +89,13 @@ class ShardedEngine:
         max_steps = int(self.steps_factor * L) + 64
         meta_d = jax.device_put(jnp.asarray(meta), self.batch_sharding)
         len_d = jax.device_put(jnp.asarray(lengths), self.lane_sharding)
-        ys, bad, steps, stats = _run_with_stats(
+        ys, bad, steps, stats, state = _run_with_stats(
             self.tables, meta_d, len_d,
             eps=self.rep.eps, unknown=self.rep.unknown,
             identity=self.rep.identity, rep=self.rep,
             max_steps=max_steps,
         )
+        self._last_state = np.asarray(state)[:B]
         return (
             np.asarray(ys)[:, :B],
             np.asarray(bad)[:B],
@@ -132,6 +133,7 @@ class ShardedEngine:
         """Tokenize a corpus and return globally-reduced counters."""
         meta, lengths, _ = self.encoder.encode_batch(texts)
         _ys, bad, _n, stats = self.run_raw(meta, lengths)
+        state = self._last_state
         # Padding lanes are empty texts and emit one sentence-end and
         # one text-end each; discount them from the global counters.
         pad = (-len(texts)) % self.n_shards
@@ -140,6 +142,8 @@ class ShardedEngine:
             "sentences": int(stats[1]) - pad,
             "texts": int(stats[2]) - pad,
             "chars": int(stats[3]),
+            "backtracks": int(state[:, 4].sum()),
+            "force_emits": int(state[:, 5].sum()),
             "fallback_lanes": int(bad.sum()),
             "shards": self.n_shards,
         }

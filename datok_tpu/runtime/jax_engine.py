@@ -235,6 +235,8 @@ def _make_step(
         pend = carry["pend"]
         pend2 = carry["pend2"]
         ckpt = carry["ckpt"]
+        nbt = carry["n_backtrack"]
+        nfe = carry["n_force"]
         hid = carry["hid"]
         t0_hid = carry["t0_hid"]
         eps_s_hid = carry["eps_s_hid"]
@@ -434,6 +436,8 @@ def _make_step(
             steps=carry["steps"] + 1,
             stalls=jnp.sum(stall.astype(I32)),
         )
+        out["n_backtrack"] = nbt + f2.astype(I32)
+        out["n_force"] = nfe + f3.astype(I32)
         return aux_update(out) if aux_update is not None else out
 
     return step
@@ -508,6 +512,8 @@ def _init_carry(B, max_steps, length, eps1, hid1, ctx_init=None, hid_init=None,
         "length": length,
         "stop": stop_flags,
         "ckpt": ctx_init,
+        "n_backtrack": zeros,
+        "n_force": zeros,
     }
 
 
@@ -519,7 +525,10 @@ def _finish(out):
         | (out["tflag"].astype(I32) << 29)
         | (out["ok"].astype(I32) << 30)
     )
-    state = jnp.stack([ctx, out["ckpt"], out["b"], out["c"]], axis=-1)
+    state = jnp.stack(
+        [ctx, out["ckpt"], out["b"], out["c"], out["n_backtrack"], out["n_force"]],
+        axis=-1,
+    )
     return out["ys"], bad, out["steps"], state
 
 
@@ -896,7 +905,7 @@ class BatchEngine:
         steps_factor: float = 2.0,
         accelerated: Optional[bool] = None,
         hot_size: int = 511,
-        service_k: int = 64,
+        service_k: int = 128,
         profile_texts: Optional[Sequence[str]] = None,
     ):
         self.tok = tok
