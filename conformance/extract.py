@@ -157,8 +157,8 @@ def extract(ref_dir: str):
             for m in re.finditer(r"(\w+)\s*:?=\s*(\w+)\.ToDoubleArray\(\)", body):
                 events.append((m.start(), "lower", (m.group(1), m.group(2), "foma-da")))
 
-            # local string vars
-            for m in re.finditer(r"(\w+)\s*:=\s*(%s)\s*$" % STR_RE, body, re.M):
+            # local string vars (declaration or re-assignment)
+            for m in re.finditer(r"(\w+)\s*:?=\s*(%s)\s*$" % STR_RE, body, re.M):
                 events.append((m.start(), "setvar", (m.group(1), lit(m.group(2), local_env))))
 
             # scenario starters
@@ -179,6 +179,10 @@ def extract(ref_dir: str):
                 r'tokens\s*=\s*strings\.Split\(w\.String\(\),\s*"\\n"\)', body
             ):
                 events.append((m.start(), "plainsplit", ()))
+            for m in re.finditer(
+                r'sentences\s*=\s*strings\.Split\(w\.String\(\),\s*"\\n\\n"\)', body
+            ):
+                events.append((m.start(), "sentsplit", ()))
 
             # asserts
             for m in re.finditer(
@@ -191,6 +195,18 @@ def extract(ref_dir: str):
                 events.append((m.start(), "tokassert", (int(m.group(1)), lit(m.group(2), local_env))))
             for m in re.finditer(r"assert\.Equal\((\d+),\s*len\(tokens\)\)", body):
                 events.append((m.start(), "lenassert", (int(m.group(1)),)))
+            for m in re.finditer(
+                r"assert\.Equal\((%s),\s*sentences\[(\d+)\]\)" % STR_RE, body
+            ):
+                events.append((m.start(), "sentassert", (int(m.group(2)), lit(m.group(1), local_env))))
+            for m in re.finditer(
+                r"assert\.Equal\(sentences\[(\d+)\],\s*(%s)\)" % STR_RE, body
+            ):
+                events.append((m.start(), "sentassert", (int(m.group(1)), lit(m.group(2), local_env))))
+            for m in re.finditer(r"assert\.Equal\((\d+),\s*len\(sentences\)\)", body):
+                events.append((m.start(), "sentlen", (int(m.group(1)),)))
+            for m in re.finditer(r"assert\.Equal\(len\(sentences\),\s*(\d+)\)", body):
+                events.append((m.start(), "sentlen", (int(m.group(1)),)))
             for m in re.finditer(r"assert\.Equal\(len\(tokens\),\s*(\d+)\)", body):
                 events.append((m.start(), "lenassert", (int(m.group(1)),)))
             for m in re.finditer(
@@ -219,7 +235,13 @@ def extract(ref_dir: str):
             pending_reader = None
 
             def close(c):
-                if c and (c.get("tokens") or c.get("len") is not None or c.get("full") is not None):
+                if c and (
+                    c.get("tokens")
+                    or c.get("len") is not None
+                    or c.get("full") is not None
+                    or c.get("sentences")
+                    or c.get("sent_len") is not None
+                ):
                     scenarios.append(c)
 
             for pos, kind, payload in events:
@@ -283,6 +305,14 @@ def extract(ref_dir: str):
                 elif kind == "plainsplit":
                     if cur:
                         cur["mode"] = "plain"
+                elif kind == "sentsplit":
+                    pass  # sentence asserts reference the same scenario
+                elif kind == "sentassert":
+                    if cur:
+                        cur.setdefault("sentences", {})[str(payload[0])] = payload[1]
+                elif kind == "sentlen":
+                    if cur:
+                        cur["sent_len"] = payload[0]
                 elif kind == "tokassert":
                     if cur:
                         cur["tokens"][str(payload[0])] = payload[1]

@@ -24,6 +24,11 @@ META_A_MASK = 0xFFFF
 META_FOUND = 1 << 16
 META_NONASCII = 1 << 17
 META_EOT = 1 << 18
+# bits 19..26: length (capped 255) of the ASCII-lowercase run starting
+# at this position — lets the hot machine consume whole word interiors
+# in one step for states that self-loop on every lowercase letter
+META_RUN_SHIFT = 19
+META_RUN_MASK = 0xFF
 
 
 def text_to_codepoints(text: str) -> np.ndarray:
@@ -38,8 +43,15 @@ def text_to_codepoints(text: str) -> np.ndarray:
 class SymbolEncoder:
     """Precomputes per-position symbol metadata for a tokenizer."""
 
-    def __init__(self, tok) -> None:
+    def __init__(self, tok, lc_mask=None) -> None:
+        """``lc_mask``: optional (128,) bool — the skip-class letters
+        used for run marking (default ASCII [a-z]); must match the
+        engine's hot-spec class for the run-skip path to be valid."""
         self.eot = EOT
+        if lc_mask is None:
+            lc_mask = np.zeros(128, dtype=bool)
+            lc_mask[ord("a") : ord("z") + 1] = True
+        self.lc_mask = np.asarray(lc_mask, dtype=bool)
         self.identity = tok.identity
         self.ascii_tab = np.asarray(tok.sigma_ascii, dtype=np.int32)
         nonascii = sorted((cp, num) for cp, num in tok.sigma.items() if cp >= 256)
@@ -65,6 +77,15 @@ class SymbolEncoder:
         meta = meta | np.where(~is_ascii & found, META_FOUND, 0)
         meta = meta | np.where(~is_ascii, META_NONASCII, 0)
         meta = meta | np.where(cp == self.eot, META_EOT, 0)
+        # suffix run lengths of the skip class (vectorized)
+        is_lc = (cp >= 0) & (cp < 128) & self.lc_mask[np.clip(cp, 0, 127)]
+        n = cp.shape[-1] if cp.ndim else 0
+        if n:
+            idx = np.arange(n, dtype=np.int32)
+            nn = np.where(~is_lc, idx, n)
+            next_nonlc = np.minimum.accumulate(nn[::-1])[::-1]
+            run = np.where(is_lc, next_nonlc - idx, 0)
+            meta = meta | (np.minimum(run, META_RUN_MASK) << META_RUN_SHIFT)
         return meta.astype(np.int32)
 
     def encode_batch(

@@ -63,7 +63,8 @@ import jax
 import jax.numpy as jnp
 
 from ..fsa.io import FIRSTBIT, RESTBIT
-from .encode import META_A_MASK, META_EOT, META_FOUND, META_NONASCII, SymbolEncoder
+from .encode import (META_A_MASK, META_EOT, META_FOUND, META_NONASCII,
+                     META_RUN_MASK, META_RUN_SHIFT, SymbolEncoder)
 from .events import EV_SENT, EV_TEXT, EV_TOKEN
 
 I32 = jnp.int32
@@ -75,11 +76,13 @@ MAX_SEGMENT = PACK_POS_MASK - 2
 
 # Hot-entry layout (3 byte planes = 24 bits):
 #   bit0 valid | bit1 hot-target | bit2 nontoken | bit3 eps-at-target |
-#   bits4.. payload (hot id if hot-target else full state id)
+#   bit4 lowercase-self-loop-at-target |
+#   bits5.. payload (hot id if hot-target else full state id)
 _HE_VALID = 1
 _HE_HOT = 2
 _HE_NONTOK = 4
 _HE_EPS = 8
+_HE_LC = 16
 
 RING = 128  # meta ring window rows
 
@@ -206,6 +209,8 @@ def _make_step(
     aux_update,
     eps1,
     hid1,
+    lc1=False,
+    enable_skip=False,
 ):
     """Build one masked step of the reference loop.
 
@@ -268,13 +273,31 @@ def _make_step(
         t0_t = jnp.where(m_read0, t, t0)
         t0_hid_t = jnp.where(m_read0, hid, t0_hid)
 
-        can_tr, valid, nontok, t_succ, t_succ_hid, eps_tgt = fetch_trans(
+        can_tr, valid, nontok, t_succ, t_succ_hid, eps_tgt, lc_tgt = fetch_trans(
             carry, t0_t, t0_hid_t, a_t
         )
 
+        # run skipping: a lowercase-absorbing state consumes the whole
+        # [a-z] run in one step (each skipped char would take the same
+        # self-arc and probe the same ε bit; ASCII chars leave the
+        # stale-ok flag untouched; the leading-char drop only applies
+        # to the first pending char, which is excluded)
+        rl = (meta_v >> META_RUN_SHIFT) & META_RUN_MASK
+        if enable_skip:
+            m_skip = (
+                m_read0
+                & can_meta
+                & carry["lc_t"]
+                & (rl >= 2)
+                & ((c - b) - ft >= 1)
+            )
+        else:
+            m_skip = jnp.zeros_like(m_read0)
+
         # stall: lane cannot proceed this step (hot machine only);
         # read phase is idempotent, so re-running it later is safe.
-        stall = (m_read0 & ~can_meta) | ((m_read0 | m_old0) & ~can_tr)
+        cold_stall = ((m_read0 & ~m_skip) | m_old0) & ~can_tr
+        stall = (m_read0 & ~can_meta) | cold_stall
         m_read = m_read0 & ~stall
         m_old = m_old0 & ~stall
 
@@ -291,10 +314,12 @@ def _make_step(
         probe = m_read & eps_here
         eps_s = jnp.where(probe, t, eps_s)
         eps_s_hid = jnp.where(probe, hid, eps_s_hid)
-        eps_o = jnp.where(probe, c, eps_o)
+        # a skipped run probes at every char; the final register holds
+        # the last run position
+        eps_o = jnp.where(probe, jnp.where(m_skip, c + rl - 1, c), eps_o)
 
         # ---- transition outcome -----------------------------------------
-        m_trans = m_read | m_old
+        m_trans = (m_read & ~m_skip) | m_old
         m_fail = m_trans & ~valid
         f1 = m_fail & ~ok & (a == identity)
         f2 = m_fail & ~f1 & (a != eps) & (eps_s != 0)
@@ -373,11 +398,18 @@ def _make_step(
         eps_t_new = jnp.where(
             f3, eps1, jnp.where(m_succ, eps_tgt, carry["eps_t"])
         )
+        lc_new = jnp.where(
+            f3, lc1, jnp.where(m_succ, lc_tgt, carry["lc_t"])
+        )
         t0_new = jnp.where(f2 | ebt, bt_state, jnp.where(echase, t, t0))
         t0_hid_new = jnp.where(f2 | ebt, bt_hid, jnp.where(echase, hid, t0_hid))
         a_new2 = jnp.where(f1, unknown, jnp.where(f2 | f3 | echase | ebt, eps, a))
         c_new = jnp.where(
-            f2 | ebt, bt_off, jnp.where(f3, c_f3, jnp.where(m_succ, c_cons, c))
+            m_skip,
+            c + rl,
+            jnp.where(
+                f2 | ebt, bt_off, jnp.where(f3, c_f3, jnp.where(m_succ, c_cons, c))
+            ),
         )
         b_new = jnp.where(f3, c_f3, jnp.where(m_succ & rewind, c_cons, b))
         ft_new = jnp.where(f3 | (m_succ & rewind), 0, jnp.where(cons, ft_cons, ft))
@@ -430,11 +462,13 @@ def _make_step(
             ckpt=ckpt_new,
             hid=hid_new,
             t0_hid=t0_hid_new,
+            lc_t=lc_new,
             eps_s_hid=eps_s_hid_new,
             eps_t=eps_t_new,
             ys=ys,
             steps=carry["steps"] + 1,
             stalls=jnp.sum(stall.astype(I32)),
+            cold=jnp.sum(cold_stall.astype(I32)),
         )
         out["n_backtrack"] = nbt + f2.astype(I32)
         out["n_force"] = nfe + f3.astype(I32)
@@ -462,13 +496,14 @@ def _general_fetches(rep, tables, meta):
     def fetch_trans(carry, t0, t0_hid, a):
         valid, nontok, t_next = rep.transition(tables, t0, a)
         can = jnp.ones_like(valid)
-        return can, valid, nontok, t_next, jnp.full_like(t_next, -1), jnp.zeros_like(valid)
+        false = jnp.zeros_like(valid)
+        return can, valid, nontok, t_next, jnp.full_like(t_next, -1), false, false
 
     return fetch_meta, probe_fn, fetch_trans
 
 
 def _init_carry(B, max_steps, length, eps1, hid1, ctx_init=None, hid_init=None,
-                epst_init=None, stop_flags=None):
+                epst_init=None, lc_init=None, stop_flags=None):
     zeros = jnp.zeros(B, I32)
     fb = jnp.zeros(B, bool)
     if ctx_init is None:
@@ -484,6 +519,8 @@ def _init_carry(B, max_steps, length, eps1, hid1, ctx_init=None, hid_init=None,
         hid_init = jnp.full(B, hid1, I32)
     if epst_init is None:
         epst_init = jnp.full(B, eps1, bool)
+    if lc_init is None:
+        lc_init = fb
     return {
         "t": t_init,
         "t0": t_init,
@@ -505,9 +542,13 @@ def _init_carry(B, max_steps, length, eps1, hid1, ctx_init=None, hid_init=None,
         "t0_hid": hid_init,
         "eps_s_hid": jnp.full(B, -1, I32),
         "eps_t": epst_init,
+        "lc_t": lc_init,
         "ys": jnp.zeros((max_steps, B), I32),
         "steps": jnp.int32(0),
         "stalls": jnp.int32(0),
+        "cold": jnp.int32(0),
+        "sref": jnp.int32(0),
+        "need_srv": jnp.array(False),
         "since": jnp.int32(0),
         "length": length,
         "stop": stop_flags,
@@ -603,6 +644,49 @@ class HotSpec:
         self.eps_avail = eps_avail.astype(np.uint8)
         self.eps1 = bool(eps_avail[1])
 
+        # letter-absorbing states: self-loop (no nontoken flag) on every
+        # letter of an adaptively chosen skip class — these consume
+        # whole letter runs in one step (semantically exact: each
+        # skipped char would probe the same ε bit and take the same
+        # self-arc).  The class starts as ASCII [a-z] and greedily
+        # drops letters that break many otherwise-absorbing states
+        # (e.g. the DE grammar routes 's' through genitive machinery,
+        # so the word-interior state loops on everything but 's').
+        letters = [cp for cp in range(ord("a"), ord("z") + 1) if cp in tok.sigma]
+        lc_avail = np.zeros(S + 1, dtype=np.uint8)
+        self.lc_mask = np.zeros(128, dtype=bool)
+        if letters:
+            syms = np.array([tok.sigma[cp] for cp in letters], dtype=np.int64)
+            cells_lc = arr[((syms[:, None] - 1) * S + states[None, :])]
+            ok_lc = (
+                (cells_lc != 0)
+                & ((cells_lc & ~np.uint32(FIRSTBIT)) == states[None, :])
+                & ((cells_lc >> 31) == 0)
+            )  # (len(letters), S+1)
+            counts = ok_lc.sum(axis=0)
+            cand = counts >= max(1, int(len(letters) * 0.75))  # absorbing-ish
+            keep = np.ones(len(letters), dtype=bool)
+            for _ in range(6):  # drop at most a few run-splitting letters
+                flagged = ok_lc[keep].all(axis=0) & cand
+                best_gain, best_i = 0, -1
+                for i in np.flatnonzero(keep):
+                    k2 = keep.copy()
+                    k2[i] = False
+                    gain = int((ok_lc[k2].all(axis=0) & cand).sum()) - int(
+                        flagged.sum()
+                    )
+                    if gain > best_gain:
+                        best_gain, best_i = gain, i
+                if best_i < 0 or best_gain < max(4, int(cand.sum() * 0.1)):
+                    break
+                keep[best_i] = False
+            lc_avail = (ok_lc[keep].all(axis=0)).astype(np.uint8)
+            lc_avail[0] = 0
+            for i in np.flatnonzero(keep):
+                self.lc_mask[letters[i]] = True
+        self.lc_avail = lc_avail
+        self.lc1 = bool(lc_avail[1])
+
         # hot entries: (A_pad, H) packed 24-bit values
         aa = np.arange(1, A + 1, dtype=np.int64)
         cells = arr[((aa[:, None] - 1) * S + hot_states[None, :])]  # (A, H)
@@ -618,7 +702,8 @@ class HotSpec:
             | np.where(is_hot, _HE_HOT, 0)
             | nt * _HE_NONTOK
             | eps_avail[tgt] * _HE_EPS
-            | (payload << 4),
+            | lc_avail[tgt].astype(np.int64) * _HE_LC
+            | (payload << 5),
             0,
         ).astype(np.int64)
         full = np.zeros((self.A_pad, H), dtype=np.int64)
@@ -639,11 +724,12 @@ class HotSpec:
             jnp.asarray(hf),
             jnp.asarray(self.hot_index),
             jnp.asarray(self.eps_avail),
+            jnp.asarray(self.lc_avail),
         )
 
 
 def _hot_fetches(spec: HotSpec, hot_tables):
-    planes, hot_full_p2, _hot_index, _eps_avail = hot_tables
+    planes, hot_full_p2, _hot_index, _eps_avail, _lc_avail = hot_tables
     H = spec.H
     A_pad = spec.A_pad
     P2 = hot_full_p2.shape[0]
@@ -675,12 +761,13 @@ def _hot_fetches(spec: HotSpec, hot_tables):
         hot_t = (entry & _HE_HOT) != 0
         nontok = (entry & _HE_NONTOK) != 0
         eps_tgt = (entry & _HE_EPS) != 0
-        payload = entry >> 4
+        lc_tgt = (entry & _HE_LC) != 0
+        payload = entry >> 5
         full_hot = _tree_select_shared(hot_full_p2, jnp.clip(payload, 0, P2 - 1))
         t_next = jnp.where(hot_t, full_hot, payload)
         t_next_hid = jnp.where(hot_t, payload, -1)
         can = t0_hid >= 0
-        return can, valid, nontok, t_next, t_next_hid, eps_tgt
+        return can, valid, nontok, t_next, t_next_hid, eps_tgt, lc_tgt
 
     return fetch_meta, probe_fn, fetch_trans
 
@@ -705,6 +792,7 @@ def _run_machine_hot(
     ctx_init,
     hid_init,
     epst_init,
+    lc_init,
     stop_flags=None,
     *,
     eps,
@@ -717,22 +805,26 @@ def _run_machine_hot(
 ):
     """Hot machine: MXU hot steps + periodic general service steps."""
     B, L = meta.shape
-    planes, hot_full, hot_index, eps_avail = hot_tables
+    planes, hot_full, hot_index, eps_avail, lc_avail = hot_tables
 
     fm_g, _pf_g, ft_g = _general_fetches(rep, tables, meta)
     fm_h, pf_h, ft_h = _hot_fetches(spec, hot_tables)
 
     # Combined auxiliary per-state map: (hot_index + 1) | eps_avail << 20
-    # — one serial take refreshes both registers in the service step.
-    aux_map = (hot_index.astype(jnp.int32) + 1) | (
-        eps_avail.astype(jnp.int32) << 20
+    # | lc_avail << 21 — one serial take refreshes the hot registers in
+    # the service step.
+    aux_map = (
+        (hot_index.astype(jnp.int32) + 1)
+        | (eps_avail.astype(jnp.int32) << 20)
+        | (lc_avail.astype(jnp.int32) << 21)
     )
 
     def aux(carry):
         out = dict(carry)
         v = jnp.take(aux_map, jnp.clip(carry["t"], 0, aux_map.shape[0] - 1))
         out["hid"] = (v & 0xFFFFF) - 1
-        out["eps_t"] = (v >> 20) != 0
+        out["eps_t"] = ((v >> 20) & 1) != 0
+        out["lc_t"] = ((v >> 21) & 1) != 0
         out["since"] = jnp.int32(0)
         return out
 
@@ -749,11 +841,13 @@ def _run_machine_hot(
         aux_update=aux,
         eps1=spec.eps1,
         hid1=spec.hid1,
+        lc1=spec.lc1,
     )
 
     def hot_aux(carry):
         out = dict(carry)
         out["since"] = carry["since"] + 1
+        out["sref"] = carry["sref"] + 1
         return out
 
     step_hot = _make_step(
@@ -766,6 +860,8 @@ def _run_machine_hot(
         aux_update=hot_aux,
         eps1=spec.eps1,
         hid1=spec.hid1,
+        lc1=spec.lc1,
+        enable_skip=True,
     )
 
     def live_mask(carry):
@@ -779,15 +875,19 @@ def _run_machine_hot(
         out = dict(carry)
         out["w"] = w_new
         out["ring"] = jax.lax.dynamic_slice(meta, (0, w_new), (B, RING))
+        out["sref"] = jnp.int32(0)
+        # stale stall counts would keep the inner loop from re-entering
+        out["stalls"] = jnp.int32(0)
         return out
 
     # NB: lax.cond inside a while body is executed as both-branches-plus-
     # select by XLA TPU, which would pay the serial service cost every
     # step.  Nested while loops guarantee real branching: the inner loop
-    # runs pure hot steps until a service trigger, the outer loop then
-    # runs exactly one general (serial-gather) service step.
-    inner_budget = min(service_k, RING // 2)
-
+    # runs pure hot steps until the ring window goes stale or lanes
+    # stall; the outer loop refreshes the window and runs one exact
+    # general (serial-gather) service step ONLY when cold lanes need it
+    # (or the heartbeat fires) — expressed as a single-iteration
+    # while_loop, which XLA executes as a real branch.
     def inner_cond(carry):
         live = jnp.any(live_mask(carry))
         n_live = jnp.sum(live_mask(carry).astype(I32))
@@ -795,15 +895,27 @@ def _run_machine_hot(
         return (
             (carry["steps"] < max_steps)
             & live
-            & (carry["since"] < inner_budget)
+            & (carry["sref"] < RING // 2)
+            & (carry["since"] < service_k)
             & ok_stalls
         )
+
+    def service_cond(carry):
+        return carry["need_srv"]
+
+    def service_body(carry):
+        out = step_general(carry)
+        out["need_srv"] = jnp.array(False)
+        return out
 
     def outer_body(carry):
         carry = refresh_ring(carry)
         carry = jax.lax.while_loop(inner_cond, step_hot, carry)
-        # one exact service step (no-op masks when nothing is live)
-        return step_general(carry)
+        need = jnp.any(live_mask(carry)) & (
+            (carry["cold"] > 0) | (carry["since"] >= service_k)
+        )
+        carry["need_srv"] = need
+        return jax.lax.while_loop(service_cond, service_body, carry)
 
     def outer_cond(carry):
         return (carry["steps"] < max_steps) & jnp.any(live_mask(carry))
@@ -811,7 +923,7 @@ def _run_machine_hot(
     init = _init_carry(
         B, max_steps, length, spec.eps1, spec.hid1,
         ctx_init=ctx_init, hid_init=hid_init, epst_init=epst_init,
-        stop_flags=stop_flags,
+        lc_init=lc_init, stop_flags=stop_flags,
     )
     init["w"] = jnp.int32(0)
     init["ring"] = jnp.zeros((B, RING), I32)
@@ -859,14 +971,32 @@ _CALIBRATION = (
 )
 
 
-def profile_hot_states(tok, texts: Sequence[str], limit: int) -> np.ndarray:
-    """Rank states by transition-time occupancy over sample texts."""
+def profile_hot_states(tok, texts: Sequence[str], limit) -> np.ndarray:
+    """Rank states by transition-time occupancy over sample texts.
+
+    ``limit`` may be an int or ``"auto"``: auto sizes the hot set to
+    cover ≥99.9% of profiled transitions (plus headroom), rounded so
+    the padded plane width stays MXU-friendly — the hot-table matmul
+    cost is linear in H, so a tight hot set directly buys throughput.
+    """
     from .oracle import transduce_events
 
     counter = {}
     for text in texts:
         transduce_events(tok, text, state_counter=counter)
     ranked = [s for s, _ in sorted(counter.items(), key=lambda kv: -kv[1])]
+    if limit == "auto":
+        total = sum(counter.values()) or 1
+        cum = 0
+        need = len(ranked)
+        for i, st in enumerate(ranked):
+            cum += counter[st]
+            if cum >= 0.999 * total:
+                need = i + 1
+                break
+        # headroom for states the calibration missed, then round to a
+        # multiple of 128 (minus 1 for the hid sentinel arithmetic)
+        limit = max(256, ((int(need * 1.5) + 127) // 128) * 128)
     hot = [1] + [s for s in ranked if s != 1]
     if len(hot) < limit:
         # structural fill: breadth-first from the root
@@ -904,13 +1034,12 @@ class BatchEngine:
         tok,
         steps_factor: float = 2.0,
         accelerated: Optional[bool] = None,
-        hot_size: int = 511,
+        hot_size="auto",
         service_k: int = 128,
         profile_texts: Optional[Sequence[str]] = None,
     ):
         self.tok = tok
         self.rep = make_rep(tok)
-        self.encoder = SymbolEncoder(tok)
         self.steps_factor = steps_factor
         self.service_k = service_k
         self.tables = tuple(jnp.asarray(t) for t in self.rep.tables)
@@ -923,6 +1052,10 @@ class BatchEngine:
             )
             self.spec = HotSpec(tok, hot)
             self.hot_tables = self.spec.device_tables()
+            # run marking must use the spec's adaptive skip class
+            self.encoder = SymbolEncoder(tok, lc_mask=self.spec.lc_mask)
+        else:
+            self.encoder = SymbolEncoder(tok)
 
     def max_steps_for(self, L: int) -> int:
         return int(self.steps_factor * L) + 64
@@ -962,6 +1095,9 @@ class BatchEngine:
             epst_init = self.spec.eps_avail[
                 np.clip(t_part, 0, len(self.spec.eps_avail) - 1)
             ].astype(bool)
+            lc_init = self.spec.lc_avail[
+                np.clip(t_part, 0, len(self.spec.lc_avail) - 1)
+            ].astype(bool)
             ys, bad, steps, state = _run_machine_hot(
                 self.tables,
                 self.hot_tables,
@@ -970,6 +1106,7 @@ class BatchEngine:
                 jnp.asarray(entries),
                 jnp.asarray(hid_init.astype(np.int32)),
                 jnp.asarray(epst_init),
+                jnp.asarray(lc_init),
                 stop_flags,
                 eps=self.rep.eps,
                 unknown=self.rep.unknown,

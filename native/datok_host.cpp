@@ -30,6 +30,8 @@ extern "C" {
 static const uint32_t META_FOUND = 1u << 16;
 static const uint32_t META_NONASCII = 1u << 17;
 static const uint32_t META_EOT = 1u << 18;
+static const int META_RUN_SHIFT = 19;
+static const uint32_t META_RUN_MASK = 0xFF;
 
 // Decode UTF-8 `data[0:n]`; write codepoints to cps (capacity n) and
 // packed meta to metas.  `ascii_tab` has 256 entries; `keys`/`vals`
@@ -84,6 +86,14 @@ int64_t dt_encode(const uint8_t* data, int64_t n, const int32_t* ascii_tab,
     cps[out] = (int32_t)cp;
     metas[out] = (int32_t)meta;
     out++;
+  }
+  // suffix run lengths of ASCII lowercase (see encode.py)
+  int32_t run = 0;
+  for (int64_t i = out - 1; i >= 0; i--) {
+    uint32_t cp = (uint32_t)cps[i];
+    run = (cp >= 'a' && cp <= 'z') ? run + 1 : 0;
+    int32_t r = run > (int32_t)META_RUN_MASK ? (int32_t)META_RUN_MASK : run;
+    metas[i] |= r << META_RUN_SHIFT;
   }
   return out;
 }

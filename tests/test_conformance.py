@@ -78,3 +78,12 @@ def test_scenario(scen):
         assert tokens[i] == expected, f"token {i}: {tokens[i]!r} != {expected!r}"
     if scen["len"] is not None:
         assert len(tokens) == scen["len"]
+
+    if scen.get("sentences") or scen.get("sent_len") is not None:
+        sentences = out.split("\n\n")
+        for idx, expected in (scen.get("sentences") or {}).items():
+            i = int(idx)
+            assert i < len(sentences), f"sentence {i} missing: {sentences}"
+            assert sentences[i] == expected, (sentences[i], expected)
+        if scen.get("sent_len") is not None:
+            assert len(sentences) == scen["sent_len"]
