@@ -26,8 +26,7 @@ replicating the exact semantics of the reference parser
 from __future__ import annotations
 
 import gzip
-import io
-from typing import Iterator, Optional
+from typing import Iterator
 
 from .automaton import Automaton, Edge
 

@@ -23,7 +23,6 @@ import numpy as np
 
 from .automaton import Automaton
 from .io import (
-    EOT,
     FIRSTBIT,
     MAMAGIC,
     VERSION,

@@ -13,7 +13,7 @@ import hashlib
 import json
 import os
 import tempfile
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 from .pipeline import tokenize_stream
 from .writer import SIMPLE, TokenWriter

@@ -20,7 +20,7 @@ reference output byte for byte for every flag combination.
 
 from __future__ import annotations
 
-from typing import Iterable, List, Tuple
+from typing import Iterable, Tuple
 
 from .writer import SIMPLE, TokenWriter
 
