@@ -165,6 +165,21 @@ def _pack(kind, start, end):
     return kind | (start << 2) | (end << (2 + PACK_POS_BITS))
 
 
+def _bsel(c, x, y):
+    """``jnp.where`` for *boolean-valued* operands.
+
+    Mosaic cannot lower selects whose value operands are i1 vectors
+    (it stores them as i8 masks and hits an unsupported i8→i1
+    truncation), so boolean registers are updated with mask logic
+    instead.  ``x`` may be a Python bool constant.
+    """
+    if x is True:
+        return c | y
+    if x is False:
+        return ~c & y
+    return (c & x) | (~c & y)
+
+
 def _tree_select(x, idx):
     """out[b] = x[b, idx[b]] via a log2 select tree (no gather).
 
@@ -211,6 +226,9 @@ def _make_step(
     hid1,
     lc1=False,
     enable_skip=False,
+    root_t=1,
+    emit_fn=None,
+    track_counts=True,
 ):
     """Build one masked step of the reference loop.
 
@@ -220,6 +238,10 @@ def _make_step(
         (can, valid, nontok, t_next, t_next_hid, eps_tgt)``
     ``aux_update(carry) -> carry`` — refresh hot-id/ε registers (service)
     ``eps1``/``hid1`` — ε-availability and hot id of the root state.
+    ``root_t`` — encoding of the root state in the ``t`` register (the
+    Pallas machine uses a tagged hot-id encoding, see pallas_engine).
+    ``emit_fn(carry, emit) -> carry`` — event sink; the default writes
+    row ``carry["steps"]`` of the carried ``ys`` buffer.
     """
 
     def step(carry):
@@ -246,7 +268,6 @@ def _make_step(
         t0_hid = carry["t0_hid"]
         eps_s_hid = carry["eps_s_hid"]
         length = carry["length"]
-        B = t.shape[0]
 
         # Lanes with queued events drain one per step and do nothing else.
         m_drain = pend != 0
@@ -303,9 +324,9 @@ def _make_step(
 
         # commit read-phase registers
         # stale-ok: only the non-ASCII path reassigns ok (matrix.go:426-434)
-        ok = jnp.where(m_read, jnp.where(nonascii_new, found_new, ok), ok)
+        ok = _bsel(m_read, _bsel(nonascii_new, found_new, ok), ok)
         a = jnp.where(m_read, a_new, a)
-        eot = jnp.where(m_read, eot_new, eot)
+        eot = _bsel(m_read, eot_new, eot)
         t0 = jnp.where(m_read, t, t0)
         t0_hid = jnp.where(m_read, hid, t0_hid)
 
@@ -341,12 +362,12 @@ def _make_step(
         ft_cons = jnp.where(lead, ft + 1, ft)
 
         # EOT handling after the consume/eps branch (matrix.go:593-605)
-        sflag1 = jnp.where(flush, False, jnp.where(sent, True, sflag))
-        tflag1 = jnp.where(flush, False, tflag)
+        sflag1 = _bsel(flush, False, _bsel(sent, True, sflag))
+        tflag1 = _bsel(flush, False, tflag)
         e_m = m_succ & eot
         sent2 = e_m & ~sflag1
         sflag2 = sflag1 | sent2
-        tflag2 = jnp.where(e_m, True, tflag1)
+        tflag2 = _bsel(e_m, True, tflag1)
         rewind = flush | e_m
 
         # ---- epilogue entry (EOF break, matrix.go:637-697) ---------------
@@ -354,8 +375,8 @@ def _make_step(
         ebt = m_eof & ~eps_here & (eps_s != 0)
         efin = m_eof & ~eps_here & (eps_s == 0)
         resid = efin & has_pending
-        sflag_e = jnp.where(resid, False, sflag)
-        tflag_e = jnp.where(resid, False, tflag)
+        sflag_e = _bsel(resid, False, sflag)
+        tflag_e = _bsel(resid, False, tflag)
         efin_sent = efin & ~sflag_e
         efin_text = efin & ~tflag_e
 
@@ -393,14 +414,10 @@ def _make_step(
         bt_hid = eps_s_hid
         bt_off = eps_o
 
-        t_new = jnp.where(f3, 1, jnp.where(m_succ, t_succ, t))
+        t_new = jnp.where(f3, root_t, jnp.where(m_succ, t_succ, t))
         hid_new = jnp.where(f3, hid1, jnp.where(m_succ, t_succ_hid, hid))
-        eps_t_new = jnp.where(
-            f3, eps1, jnp.where(m_succ, eps_tgt, carry["eps_t"])
-        )
-        lc_new = jnp.where(
-            f3, lc1, jnp.where(m_succ, lc_tgt, carry["lc_t"])
-        )
+        eps_t_new = _bsel(f3, eps1, _bsel(m_succ, eps_tgt, carry["eps_t"]))
+        lc_new = _bsel(f3, lc1, _bsel(m_succ, lc_tgt, carry["lc_t"]))
         t0_new = jnp.where(f2 | ebt, bt_state, jnp.where(echase, t, t0))
         t0_hid_new = jnp.where(f2 | ebt, bt_hid, jnp.where(echase, hid, t0_hid))
         a_new2 = jnp.where(f1, unknown, jnp.where(f2 | f3 | echase | ebt, eps, a))
@@ -418,12 +435,10 @@ def _make_step(
             f2 | f3 | ebt | (m_succ & rewind), -1, eps_s_hid
         )
         eps_o_new = jnp.where(m_succ & rewind, 0, eps_o)
-        newchar_new = jnp.where(
-            f1 | f2 | echase | ebt, False, jnp.where(f3 | m_succ, True, newchar)
-        )
-        eot_new2 = jnp.where(f1 | f2 | m_succ, False, eot)
-        sflag_new = jnp.where(f3, False, jnp.where(m_succ, sflag2, sflag))
-        tflag_new = jnp.where(f3, False, jnp.where(m_succ, tflag2, tflag))
+        newchar_new = _bsel(f1 | f2 | echase | ebt, False, _bsel(f3 | m_succ, True, newchar))
+        eot_new2 = _bsel(f1 | f2 | m_succ, False, eot)
+        sflag_new = _bsel(f3, False, _bsel(m_succ, sflag2, sflag))
+        tflag_new = _bsel(f3, False, _bsel(m_succ, tflag2, tflag))
         phase_new = jnp.where(efin | m_cut, 1, phase)
         # checkpoint the machine context at rewinds: the buffer base b
         # restarts here with zeroed registers, so a later segment can
@@ -437,11 +452,13 @@ def _make_step(
             ckpt,
         )
 
-        ys = jax.lax.dynamic_update_slice(
-            carry["ys"], emit.astype(I32)[None, :], (carry["steps"], 0)
-        )
-
         out = dict(carry)
+        if emit_fn is None:
+            out["ys"] = jax.lax.dynamic_update_slice(
+                carry["ys"], emit.astype(I32)[None, :], (carry["steps"], 0)
+            )
+        else:
+            out = emit_fn(out, emit)
         out.update(
             t=t_new,
             t0=t0_new,
@@ -465,11 +482,14 @@ def _make_step(
             lc_t=lc_new,
             eps_s_hid=eps_s_hid_new,
             eps_t=eps_t_new,
-            ys=ys,
             steps=carry["steps"] + 1,
-            stalls=jnp.sum(stall.astype(I32)),
-            cold=jnp.sum(cold_stall.astype(I32)),
         )
+        if track_counts:
+            # scalar reductions every step are cheap in XLA but cost a
+            # vector→scalar round-trip per iteration inside Mosaic —
+            # the fused kernel turns them off
+            out["stalls"] = jnp.sum(stall.astype(I32))
+            out["cold"] = jnp.sum(cold_stall.astype(I32))
         out["n_backtrack"] = nbt + f2.astype(I32)
         out["n_force"] = nfe + f3.astype(I32)
         return aux_update(out) if aux_update is not None else out
@@ -711,6 +731,47 @@ class HotSpec:
         self.planes = np.concatenate(
             [(full & 0xFF), (full >> 8) & 0xFF, (full >> 16) & 0xFF], axis=1
         ).astype(np.float32)  # (A_pad, 3H), bf16-exact byte values
+
+        # ---- fused-kernel tables (pallas_engine) -------------------------
+        # 16-bit entries in two transposed int8 planes; cold targets go
+        # through a small side table and states travel *tagged* (decoded
+        # only at service boundaries):  bits 0..4 flags as above, bits
+        # 5..15 payload = hot id, or cold-side-table id.
+        cold_targets = np.unique(tgt[valid & ~is_hot])
+        self.n_cold = len(cold_targets)
+        self.pallas_ok = (H <= 2047) and (self.n_cold <= 2047)
+        if self.pallas_ok:
+            cold_index = {int(s): i for i, s in enumerate(cold_targets)}
+            cold_id = np.zeros_like(tgt)
+            if self.n_cold:
+                flat = np.array(
+                    [cold_index.get(int(s), 0) for s in tgt.ravel()], dtype=np.int64
+                ).reshape(tgt.shape)
+                cold_id = flat
+            payload16 = np.where(is_hot, tgt_hid, cold_id)
+            entry16 = np.where(
+                valid,
+                _HE_VALID
+                | np.where(is_hot, _HE_HOT, 0)
+                | nt * _HE_NONTOK
+                | eps_avail[tgt] * _HE_EPS
+                | lc_avail[tgt].astype(np.int64) * _HE_LC
+                | (payload16 << 5),
+                0,
+            ).astype(np.int64)
+            full16 = np.zeros((self.A_pad, H), dtype=np.int64)
+            full16[1 : A + 1, :] = entry16
+            # (2H, A_pad): rows [0,H) = low byte, [H,2H) = high byte
+            self.planes_kT = (
+                np.concatenate([full16 & 0xFF, (full16 >> 8) & 0xFF], axis=1).T
+                - 128
+            ).astype(np.int8)
+            cp2 = 1
+            while cp2 < max(2, self.n_cold):
+                cp2 *= 2
+            cf = np.zeros(cp2, dtype=np.int32)
+            cf[: self.n_cold] = cold_targets.astype(np.int32)
+            self.cold_full_p2 = cf
 
     def device_tables(self):
         # hot_full padded to a power of two for the select tree
@@ -971,6 +1032,40 @@ _CALIBRATION = (
 )
 
 
+def default_profile_texts(tok) -> List[str]:
+    """Calibration corpus for hot-state profiling.
+
+    The built-in sample alone under-covers word-list machinery (the
+    abbreviation/URL tries): measured 7% cold transitions on the bench
+    text with a sample-profiled hot set.  The conformance scenarios
+    (extracted from the reference's test suite) plus the word-list
+    fixtures exercise exactly the state machinery real corpora hit.
+    """
+    import json
+    import os
+
+    texts = [_CALIBRATION]
+    root = os.path.join(os.path.dirname(__file__), "..", "..")
+    scen = os.path.join(root, "conformance", "scenarios.json")
+    try:
+        with open(scen, encoding="utf-8") as fh:
+            data = json.load(fh)
+        texts.extend(
+            s["input"] for s in data if isinstance(s.get("input"), str)
+        )
+    except OSError:
+        pass
+    for lst in ("dontsplit.txt", "split.txt"):
+        p = os.path.join("/root/reference/testdata/de", lst)
+        try:
+            with open(p, encoding="utf-8") as fh:
+                words = [w.strip() for w in fh if w.strip()]
+            texts.append(" ".join(words))
+        except OSError:
+            pass
+    return texts
+
+
 def profile_hot_states(tok, texts: Sequence[str], limit) -> np.ndarray:
     """Rank states by transition-time occupancy over sample texts.
 
@@ -994,9 +1089,10 @@ def profile_hot_states(tok, texts: Sequence[str], limit) -> np.ndarray:
             if cum >= 0.999 * total:
                 need = i + 1
                 break
-        # headroom for states the calibration missed, then round to a
-        # multiple of 128 (minus 1 for the hid sentinel arithmetic)
-        limit = max(256, ((int(need * 1.5) + 127) // 128) * 128)
+        # small headroom, then round to a multiple of 128 — the fused
+        # kernel's matmul cost is linear in H, so a tight hot set buys
+        # throughput directly (cold misses cost one amortized service)
+        limit = max(384, ((int(need * 1.1) + 127) // 128) * 128)
     hot = [1] + [s for s in ranked if s != 1]
     if len(hot) < limit:
         # structural fill: breadth-first from the root
@@ -1024,9 +1120,15 @@ def profile_hot_states(tok, texts: Sequence[str], limit) -> np.ndarray:
 class BatchEngine:
     """Host-facing batched tokenization engine.
 
-    ``accelerated=True`` (default for the matrix representation) uses
-    the MXU hot machine with periodic exact service steps; the general
-    serial-gather machine is used otherwise.
+    ``engine`` selects the device machine:
+      - ``"pallas"``: fused K-step Pallas kernel + XLA service steps
+        (fastest; matrix representation on TPU);
+      - ``"hot"``: XLA MXU hot machine with periodic service steps;
+      - ``"general"``: serial-gather machine (any representation);
+      - ``"auto"`` (default): pallas on TPU for matrix models, hot on
+        other backends for matrix models, general otherwise.
+
+    ``accelerated=False`` is a legacy alias for ``engine="general"``.
     """
 
     def __init__(
@@ -1035,27 +1137,55 @@ class BatchEngine:
         steps_factor: float = 2.0,
         accelerated: Optional[bool] = None,
         hot_size="auto",
-        service_k: int = 128,
+        service_k: Optional[int] = None,
         profile_texts: Optional[Sequence[str]] = None,
+        engine: str = "auto",
+        kernel_k: int = 64,
+        kernel_bl: int = 2048,
+        kernel_early_exit: bool = True,
+        pallas_interpret: bool = False,
     ):
         self.tok = tok
         self.rep = make_rep(tok)
         self.steps_factor = steps_factor
-        self.service_k = service_k
         self.tables = tuple(jnp.asarray(t) for t in self.rep.tables)
-        if accelerated is None:
-            accelerated = tok.type() == "MATOK"
-        self.accelerated = accelerated and tok.type() == "MATOK"
+        if accelerated is False:
+            engine = "general"
+        if engine == "auto":
+            if tok.type() == "MATOK":
+                engine = "pallas" if jax.default_backend() == "tpu" else "hot"
+            else:
+                engine = "general"
+        if tok.type() != "MATOK" and engine != "general":
+            engine = "general"
+        if service_k is None:
+            # the fused kernel services on cold demand; the heartbeat
+            # is only a safety net there. The XLA hot machine relies on
+            # the heartbeat to bound ring staleness.
+            service_k = 1024 if engine == "pallas" else 128
+        self.service_k = service_k
+        self.kernel_k = kernel_k
+        self.kernel_bl = kernel_bl
+        self.kernel_early_exit = kernel_early_exit
+        self.pallas_interpret = pallas_interpret
+        self.accelerated = engine in ("hot", "pallas")
         if self.accelerated:
             hot = profile_hot_states(
-                tok, profile_texts or [_CALIBRATION], hot_size
+                tok, profile_texts or default_profile_texts(tok), hot_size
             )
             self.spec = HotSpec(tok, hot)
+            if engine == "pallas" and not self.spec.pallas_ok:
+                engine = "hot"
+            if engine == "pallas":
+                from .pallas_engine import PallasSpec
+
+                self.pallas_spec = PallasSpec(self.spec)
             self.hot_tables = self.spec.device_tables()
             # run marking must use the spec's adaptive skip class
             self.encoder = SymbolEncoder(tok, lc_mask=self.spec.lc_mask)
         else:
             self.encoder = SymbolEncoder(tok)
+        self.engine = engine
 
     def max_steps_for(self, L: int) -> int:
         return int(self.steps_factor * L) + 64
@@ -1087,6 +1217,8 @@ class BatchEngine:
         stop_flags = None if stops is None else jnp.asarray(
             np.asarray(stops, dtype=bool)
         )
+        if self.engine == "pallas":
+            return self._run_pallas(meta, lengths, entries, t_part, stops)
         if self.accelerated:
             if L < RING:  # ring window needs at least RING meta rows
                 meta = np.pad(meta, ((0, 0), (0, RING - L)))
@@ -1129,6 +1261,76 @@ class BatchEngine:
                 rep=self.rep,
                 max_steps=self.max_steps_for(L),
             )
+        return ys, bad, steps, state
+
+    def _run_pallas(self, meta, lengths, entries, t_part, stops):
+        from .pallas_engine import _run_machine_pallas
+
+        B, L = meta.shape
+        BL = self.kernel_bl
+        on_device = isinstance(meta, jax.Array)
+        if not on_device:
+            meta = np.asarray(meta)
+        if L < RING:
+            meta = (jnp if on_device else np).pad(
+                meta, ((0, 0), (0, RING - L))
+            )
+            L = RING
+        B_pad = ((B + BL - 1) // BL) * BL
+        lengths = np.asarray(lengths, dtype=np.int32)
+        stops_a = None if stops is None else np.asarray(stops, dtype=bool)
+        if B_pad != B:
+            meta = (jnp if on_device else np).pad(
+                meta, ((0, B_pad - B), (0, 0))
+            )
+            lengths = np.pad(lengths, (0, B_pad - B))
+            entries = np.pad(entries, (0, B_pad - B), constant_values=1)
+            if stops_a is not None:
+                stops_a = np.pad(stops_a, (0, B_pad - B))
+            t_part = entries & 0x0FFFFFFF
+        # the transpose of a device-resident meta runs on device — a
+        # host round-trip through the dev tunnel costs ~600 ms at the
+        # bench shape (measured via the profiler)
+        meta_T = (
+            jnp.transpose(meta) if on_device else np.ascontiguousarray(meta.T)
+        )
+        hid_init = self.spec.hot_index[
+            np.clip(t_part, 0, len(self.spec.hot_index) - 1)
+        ]
+        epst_init = self.spec.eps_avail[
+            np.clip(t_part, 0, len(self.spec.eps_avail) - 1)
+        ].astype(bool)
+        lc_init = self.spec.lc_avail[
+            np.clip(t_part, 0, len(self.spec.lc_avail) - 1)
+        ].astype(bool)
+        stop_flags = None if stops_a is None else jnp.asarray(stops_a)
+        ys, bad, steps, state, stats = _run_machine_pallas(
+            self.tables,
+            self.pallas_spec.tables,
+            jnp.asarray(meta_T),
+            jnp.asarray(lengths),
+            jnp.asarray(entries),
+            jnp.asarray(hid_init.astype(np.int32)),
+            jnp.asarray(epst_init),
+            jnp.asarray(lc_init),
+            stop_flags,
+            eps=self.rep.eps,
+            unknown=self.rep.unknown,
+            identity=self.rep.identity,
+            rep=self.rep,
+            spec=self.spec,
+            max_steps=self.max_steps_for(L),
+            service_k=self.service_k,
+            K=self.kernel_k,
+            BL=BL,
+            early_exit=self.kernel_early_exit,
+            interpret=self.pallas_interpret,
+        )
+        if B_pad != B:
+            ys = ys[:, :B]
+            bad = bad[:B]
+            state = state[:B]
+        self.last_stats = stats  # (rounds, services, since) — observability
         return ys, bad, steps, state
 
     def run_raw(

@@ -1,0 +1,448 @@
+"""Fused Pallas inner-loop engine (matrix representation).
+
+The XLA hot machine (:mod:`jax_engine`) pays three per-step costs that
+are invisible to op-level reasoning but dominate on real hardware
+(measured through the dev tunnel, see BENCH_LOG.md):
+
+  1. the one-hot matmul's ``rows`` intermediate round-trips HBM every
+     step — XLA cannot fuse a dot's consumer into the dot;
+  2. every `while` iteration carries a fixed XLA overhead (~25 μs at
+     B=16K, measured with a no-op body);
+  3. three byte planes of matmul FLOPs.
+
+This module runs K consecutive hot steps inside ONE Pallas kernel:
+transition entries are fetched with a *transposed* one-hot int8 matmul
+``planes (2H, A) @ onehot (A, BL) -> (2H, BL)`` whose output lives in
+VMEM only; the column select, ring meta fetch, and all step logic are
+VPU ops on (1, BL) rows; events are written as rows of a (K, BL) VMEM
+block. Measured core loop: ~1.2–1.6 ns/lane-step vs ~10 ns for the
+XLA machine.
+
+Exact-semantics strategy — identical step code, different fetches:
+the kernel body calls the SAME :func:`jax_engine._make_step` factory
+as the XLA machines, so the reference semantics
+(/root/reference matrix.go:383-697) exist in exactly one place.  Two
+representation changes make the step kernel-friendly:
+
+  * **Packed 16-bit entries, two int8 planes.** 5 flag bits + 11-bit
+    payload. Hot targets carry their hot id; cold targets an id into a
+    small side table (DE model: 1536 cold targets from the hot set).
+  * **Tagged states.** The ``t``/``eps_s``/``ckpt`` registers hold
+    ``TAG_HOT|hid`` or ``TAG_COLD|cid`` instead of full state ids —
+    the full-id decode (a 512–2048-wide select tree) runs only at
+    service boundaries and machine exit, not per step.
+
+Cold transitions, identity→unknown retries beyond the hot set, and the
+heartbeat run as exact XLA *service steps* between kernel calls, as in
+the hot machine.  Stalled lanes re-run their read phase idempotently.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .encode import META_A_MASK, META_EOT, META_FOUND, META_NONASCII, \
+    META_RUN_MASK, META_RUN_SHIFT
+from .jax_engine import (HotSpec, I32, RING, _init_carry, _make_step,
+                         _tree_select_shared)
+
+TAG_HOT = 1 << 24
+TAG_COLD = 1 << 25
+TAG_MASK = TAG_HOT | TAG_COLD
+PAYLOAD_MASK = 0x7FF
+
+# carry rows shipped through the kernel, in order
+ROWS = (
+    "t", "t0", "a", "ok", "eot", "newchar", "eps_s", "eps_o", "c", "b",
+    "ft", "sflag", "tflag", "phase", "pend", "pend2", "ckpt",
+    "n_backtrack", "n_force", "hid", "t0_hid", "eps_s_hid", "eps_t",
+    "lc_t", "length", "stop",
+)
+BOOL_ROWS = frozenset(
+    ("ok", "eot", "newchar", "sflag", "tflag", "eps_t", "lc_t", "stop")
+)
+NC = len(ROWS)
+
+
+def _pack_rows(carry):
+    return jnp.concatenate(
+        [carry[k].astype(I32)[None, :] for k in ROWS], axis=0
+    )
+
+
+def _unpack_rows(rows, carry):
+    out = dict(carry)
+    for i, k in enumerate(ROWS):
+        v = rows[i]
+        out[k] = (v != 0) if k in BOOL_ROWS else v
+    return out
+
+
+def decode_tagged(t, hot_full_p2, cold_full_p2):
+    """Resolve tagged state registers to full state ids (XLA-side)."""
+    pay = t & PAYLOAD_MASK
+    hot = (t & TAG_HOT) != 0
+    cold = (t & TAG_COLD) != 0
+    hp = _tree_select_shared(hot_full_p2, jnp.clip(pay, 0, hot_full_p2.shape[0] - 1))
+    cp = _tree_select_shared(cold_full_p2, jnp.clip(pay, 0, cold_full_p2.shape[0] - 1))
+    return jnp.where(hot, hp, jnp.where(cold, cp, t))
+
+
+def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=False):
+    H = spec.H
+    A_pad = spec.A_pad
+    hid1 = spec.hid1
+    root_t = TAG_HOT | hid1
+
+    def kernel(w_ref, rows_ref, ring_ref, planes_ref, out_rows_ref, ys_ref, info_ref):
+        w = w_ref[0, 0]
+        ring = ring_ref[...]
+        planes = planes_ref[...]
+        iota_a = jax.lax.broadcasted_iota(I32, (A_pad, BL), 0)
+        iota_h = jax.lax.broadcasted_iota(I32, (H, BL), 0)
+        iota_r = jax.lax.broadcasted_iota(I32, (RING, BL), 0)
+
+        ys_ref[...] = jnp.zeros((K, BL), I32)
+
+        def fetch_meta(carry):
+            off = carry["c"] - w
+            can = (off >= 0) & (off < RING)
+            offc = jnp.clip(off, 0, RING - 1)
+            v = jnp.sum(jnp.where(iota_r == offc, ring, 0), axis=0, keepdims=True)
+            return v, can
+
+        def probe_fn(carry):
+            return carry["eps_t"]
+
+        def fetch_trans(carry, t0, t0_hid, a):
+            oh = ((iota_a == a) & (a > 0)).astype(jnp.int8)
+            rows = jax.lax.dot_general(
+                planes, oh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=I32,
+            )  # (2H, BL): entry bytes - 128
+            msel = iota_h == t0_hid
+            lo = jnp.sum(jnp.where(msel, rows[:H], 0), axis=0, keepdims=True) + 128
+            hi = jnp.sum(jnp.where(msel, rows[H:], 0), axis=0, keepdims=True) + 128
+            entry = lo | (hi << 8)
+            valid = (entry & 1) != 0
+            hot_t = (entry & 2) != 0
+            nontok = (entry & 4) != 0
+            eps_tgt = (entry & 8) != 0
+            lc_tgt = (entry & 16) != 0
+            payload = entry >> 5
+            t_next = jnp.where(hot_t, TAG_HOT | payload, TAG_COLD | payload)
+            t_next_hid = jnp.where(hot_t, payload, -1)
+            can = t0_hid >= 0
+            return can, valid, nontok, t_next, t_next_hid, eps_tgt, lc_tgt
+
+        def emit_fn(out, emit):
+            ys_ref[pl.ds(out["steps"], 1), :] = emit.astype(I32)
+            return out
+
+        step = _make_step(
+            eps=eps,
+            unknown=unknown,
+            identity=identity,
+            fetch_meta=fetch_meta,
+            probe_fn=probe_fn,
+            fetch_trans=fetch_trans,
+            aux_update=None,
+            eps1=spec.eps1,
+            hid1=hid1,
+            lc1=spec.lc1,
+            enable_skip=True,
+            root_t=root_t,
+            emit_fn=emit_fn,
+            track_counts=early_exit,
+        )
+
+        rows_in = rows_ref[...]
+        # static 2D slices (no 1D relayouts in Mosaic); bool registers
+        # stay int32 across loop iterations — Mosaic cannot round-trip
+        # i1 vectors through loop carries (i8→i1 trunci is unsupported)
+        carry = {k: rows_in[i : i + 1, :] for i, k in enumerate(ROWS)}
+        carry["steps"] = jnp.int32(0)
+        carry["stalls"] = jnp.int32(0)
+        carry["cold"] = jnp.int32(0)
+
+        def step_i32(carry):
+            c2 = dict(carry)
+            for k in BOOL_ROWS:
+                c2[k] = carry[k] != 0
+            out = step(c2)
+            for k in BOOL_ROWS:
+                out[k] = out[k].astype(I32)
+            return out
+
+        def live_of(carry):
+            return (carry["phase"] == 0) | (carry["pend"] != 0)
+
+        if early_exit:
+            def cond(carry):
+                live = live_of(carry)
+                n_live = jnp.sum(live.astype(I32))
+                ok_stalls = (carry["stalls"] * 8 <= BL) & (
+                    carry["stalls"] < n_live
+                )
+                return (carry["steps"] < K) & (n_live > 0) & ok_stalls
+
+            carry = jax.lax.while_loop(cond, step_i32, carry)
+        else:
+            carry = jax.lax.fori_loop(0, K, lambda i, c: step_i32(c), carry)
+
+        out_rows = jnp.concatenate(
+            [carry[k].astype(I32) for k in ROWS], axis=0
+        )
+        out_rows_ref[...] = out_rows
+        info_ref[...] = jnp.full((1, BL), carry["steps"], I32)
+
+    return kernel
+
+
+def _kernel_call(spec, *, eps, unknown, identity, K, BL, B, early_exit, interpret):
+    kernel = _make_kernel(
+        spec, eps=eps, unknown=unknown, identity=identity, K=K, BL=BL,
+        early_exit=early_exit,
+    )
+    H = spec.H
+    A_pad = spec.A_pad
+    grid = (B // BL,)
+
+    def call(w, rows, ring_T, planes):
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((NC, B), I32),
+                jax.ShapeDtypeStruct((K, B), I32),
+                jax.ShapeDtypeStruct((1, B), I32),
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((NC, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((RING, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (2 * H, A_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec((NC, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(w, rows, ring_T, planes)
+
+    return call
+
+
+def _general_fetches_T(rep, tables, meta_T):
+    """General (serial-gather) fetches over the transposed meta layout."""
+    L = meta_T.shape[0]
+
+    def fetch_meta(carry):
+        cc = jnp.clip(carry["c"], 0, L - 1)
+        m = jnp.take_along_axis(meta_T, cc[None, :], axis=0)[0]
+        return m, jnp.ones_like(carry["phase"], bool)
+
+    def probe_fn(carry):
+        return carry["eps_t"]
+
+    def fetch_trans(carry, t0, t0_hid, a):
+        valid, nontok, t_next = rep.transition(tables, t0, a)
+        can = jnp.ones_like(valid)
+        false = jnp.zeros_like(valid)
+        return can, valid, nontok, t_next, jnp.full_like(t_next, -1), false, false
+
+    return fetch_meta, probe_fn, fetch_trans
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "eps", "unknown", "identity", "rep", "spec", "max_steps",
+        "service_k", "K", "BL", "early_exit", "interpret",
+    ),
+)
+def _run_machine_pallas(
+    tables,
+    pallas_tables,
+    meta_T,
+    length,
+    ctx_init,
+    hid_init,
+    epst_init,
+    lc_init,
+    stop_flags=None,
+    *,
+    eps,
+    unknown,
+    identity,
+    rep,
+    spec,
+    max_steps,
+    service_k,
+    K=64,
+    BL=1024,
+    early_exit=False,
+    interpret=False,
+):
+    """Fused-kernel machine: K-step Pallas rounds + XLA service steps."""
+    L, B = meta_T.shape
+    planes, hot_full_p2, cold_full_p2, hot_index, eps_avail, lc_avail = pallas_tables
+    # fixed-K rounds advance the global step counter by K even when
+    # lanes finish or stall mid-round, so the work budget is counted in
+    # rounds and the event buffer sized for the worst case (plus one
+    # service row per round)
+    r_max = -(-max_steps // K) + 8
+    max_steps_pad = r_max * (K + 2)
+
+    call = _kernel_call(
+        spec, eps=eps, unknown=unknown, identity=identity, K=K, BL=BL,
+        B=B, early_exit=early_exit, interpret=interpret,
+    )
+
+    aux_map = (
+        (hot_index.astype(jnp.int32) + 1)
+        | (eps_avail.astype(jnp.int32) << 20)
+        | (lc_avail.astype(jnp.int32) << 21)
+    )
+
+    def decode(t):
+        return decode_tagged(t, hot_full_p2, cold_full_p2)
+
+    def aux(carry):
+        out = dict(carry)
+        v = jnp.take(aux_map, jnp.clip(carry["t"], 0, aux_map.shape[0] - 1))
+        out["hid"] = (v & 0xFFFFF) - 1
+        out["eps_t"] = ((v >> 20) & 1) != 0
+        out["lc_t"] = ((v >> 21) & 1) != 0
+        return out
+
+    fm_g, pf_g, ft_g = _general_fetches_T(rep, tables, meta_T)
+    step_general = _make_step(
+        eps=eps,
+        unknown=unknown,
+        identity=identity,
+        fetch_meta=fm_g,
+        probe_fn=pf_g,
+        fetch_trans=ft_g,
+        aux_update=aux,
+        eps1=spec.eps1,
+        hid1=spec.hid1,
+        lc1=spec.lc1,
+    )
+
+    def live_mask(carry):
+        return (carry["phase"] == 0) | (carry["pend"] != 0)
+
+    def service_cond(carry):
+        return carry["need_srv"]
+
+    def service_body(carry):
+        out = dict(carry)
+        # resolve tagged registers before the exact general step
+        out["t"] = decode(out["t"])
+        out["t0"] = decode(out["t0"])
+        out["eps_s"] = decode(out["eps_s"])
+        out["ckpt"] = decode(out["ckpt"] & 0x0FFFFFFF) | (
+            out["ckpt"] & jnp.int32(0x70000000)
+        )
+        out = step_general(out)
+        out["need_srv"] = jnp.array(False)
+        out["since"] = jnp.int32(0)
+        out["services"] = carry["services"] + 1
+        return out
+
+    def outer_body(carry):
+        live = live_mask(carry)
+        c_live = jnp.where(live, carry["c"], jnp.int32(1 << 28))
+        w = jnp.clip(jnp.min(c_live), 0, max(0, L - RING))
+        ring_T = jax.lax.dynamic_slice(meta_T, (w, 0), (RING, B))
+        rows = _pack_rows(carry)
+        out_rows, ys_chunk, info = call(
+            jnp.full((1, 1), w, I32), rows, ring_T, planes
+        )
+        out = _unpack_rows(out_rows, carry)
+        n_inner = jnp.max(info[0])
+        out["ys"] = jax.lax.dynamic_update_slice(
+            carry["ys"], ys_chunk, (carry["steps"], 0)
+        )
+        out["steps"] = carry["steps"] + n_inner
+        out["since"] = carry["since"] + n_inner
+        out["rounds"] = carry["rounds"] + 1
+        out["services"] = carry["services"]
+        live2 = live_mask(out)
+        cold_lane = live2 & ((out["hid"] < 0) | (out["t0_hid"] < 0))
+        out["need_srv"] = jnp.any(live2) & (
+            jnp.any(cold_lane) | (out["since"] >= service_k) | (n_inner == 0)
+        )
+        return jax.lax.while_loop(service_cond, service_body, out)
+
+    def outer_cond(carry):
+        return (carry["rounds"] < r_max) & (
+            carry["steps"] + K + 2 <= max_steps_pad
+        ) & jnp.any(live_mask(carry))
+
+    init = _init_carry(
+        B, max_steps_pad, length, spec.eps1, spec.hid1,
+        ctx_init=ctx_init, hid_init=hid_init, epst_init=epst_init,
+        lc_init=lc_init, stop_flags=stop_flags,
+    )
+    init["since"] = jnp.int32(0)
+    init["rounds"] = jnp.int32(0)
+    init["services"] = jnp.int32(0)
+    out = jax.lax.while_loop(outer_cond, outer_body, init)
+
+    # decode tagged registers for the exit state
+    bad = (out["phase"] == 0) | (out["pend"] != 0)
+    t_dec = decode(out["t"])
+    ckpt_dec = decode(out["ckpt"] & 0x0FFFFFFF) | (
+        out["ckpt"] & jnp.int32(0x70000000)
+    )
+    ctx = (
+        t_dec
+        | (out["sflag"].astype(I32) << 28)
+        | (out["tflag"].astype(I32) << 29)
+        | (out["ok"].astype(I32) << 30)
+    )
+    state = jnp.stack(
+        [ctx, ckpt_dec, out["b"], out["c"], out["n_backtrack"], out["n_force"]],
+        axis=-1,
+    )
+    stats = jnp.stack([out["rounds"], out["services"], out["since"]])
+    return out["ys"], bad, out["steps"], state, stats
+
+
+class PallasSpec:
+    """Device tables for the fused kernel, derived from a HotSpec."""
+
+    def __init__(self, spec: HotSpec):
+        if not spec.pallas_ok:
+            raise ValueError(
+                f"hot set does not fit the packed-entry format "
+                f"(H={spec.H}, cold={spec.n_cold}, max 2047 each)"
+            )
+        self.spec = spec
+        p2 = 1
+        while p2 < max(2, spec.H):
+            p2 *= 2
+        hf = np.zeros(p2, dtype=np.int32)
+        hf[: spec.H] = spec.hot_full
+        self.tables = (
+            jnp.asarray(spec.planes_kT),       # (2H, A_pad) int8
+            jnp.asarray(hf),                    # hot_full, pow2
+            jnp.asarray(spec.cold_full_p2),     # cold side table, pow2
+            jnp.asarray(spec.hot_index),
+            jnp.asarray(spec.eps_avail),
+            jnp.asarray(spec.lc_avail),
+        )
