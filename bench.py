@@ -32,7 +32,7 @@ Mach's macht's was'n ist's haste willste kannste biste kriegste."""
 
 
 def main():
-    B = int(os.environ.get("BENCH_LANES", "16384"))
+    B = int(os.environ.get("BENCH_LANES", "32768"))
     L = int(os.environ.get("BENCH_LEN", "1024"))
     reps = int(os.environ.get("BENCH_REPS", "7"))
 

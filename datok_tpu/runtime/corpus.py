@@ -63,7 +63,7 @@ class CorpusRunner:
             from .jax_engine import BatchEngine
 
             self.engine = BatchEngine(self.tok)
-        done = skipped = 0
+        done = skipped = bytes_in = bytes_out = 0
         for path in files:
             with open(path, "rb") as f:
                 data = f.read()
@@ -86,6 +86,14 @@ class CorpusRunner:
             }
             self._save_manifest()
             done += 1
+            bytes_in += len(data)
+            bytes_out += len(out)
             if verbose:
                 print(f"done {path} ({len(data)} -> {len(out)} bytes)")
-        return {"done": done, "skipped": skipped, "total": len(files)}
+        return {
+            "done": done,
+            "skipped": skipped,
+            "total": len(files),
+            "bytes_in": bytes_in,
+            "bytes_out": bytes_out,
+        }

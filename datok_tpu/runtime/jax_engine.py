@@ -952,7 +952,17 @@ def _run_machine_hot(
     def inner_cond(carry):
         live = jnp.any(live_mask(carry))
         n_live = jnp.sum(live_mask(carry).astype(I32))
-        ok_stalls = (carry["stalls"] * 8 <= B) & (carry["stalls"] < n_live)
+        # Stall exit relative to *live* lanes: stalled lanes idle until
+        # the next service, so in sparse batches (few live lanes, e.g.
+        # the long-document pipeline) waiting for `stalls == n_live`
+        # lets each cold character cost a stalled lane up to a full
+        # round of idle steps and blows the step budget.  A quarter of
+        # the live lanes stalled is the break-even for paying the
+        # serial service step; full blocks keep the absolute B/8 bound
+        # (it binds first there, preserving big-batch behavior).
+        ok_stalls = (carry["stalls"] * 8 <= B) & (
+            carry["stalls"] * 4 < n_live
+        )
         return (
             (carry["steps"] < max_steps)
             & live

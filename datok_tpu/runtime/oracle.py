@@ -43,7 +43,8 @@ _CP_EOT = EOT
 
 def transduce_events(
     tok, text: str, state_counter=None, entry_state: int = 1, exit_box=None,
-    debug: bool = False,
+    debug: bool = False, start: int = 0, stop_at: Optional[int] = None,
+    registers_box=None, rewinds_box=None,
 ) -> List[Event]:
     """Run the exact transduce loop; return the boundary event stream.
 
@@ -53,6 +54,25 @@ def transduce_events(
     ``t | sentence_end<<28 | text_end<<29 | ok<<30`` (1 = fresh root);
     ``exit_box`` receives the packed exit context.  Used by the
     split/segmentation pipeline to chain chunk contexts exactly.
+
+    ``start``/``stop_at``/``registers_box`` implement the *cut walk*
+    used by speculative segmentation: replay from a rewind checkpoint
+    (``entry_state`` = the packed context at the rewind, ``start`` =
+    its buffer base) and stop just before reading the character at
+    ``stop_at`` — no EOF epilogue, no residual flush.  The machine
+    registers at the stop point are appended to ``registers_box`` as a
+    dict; positions in emitted events are absolute.
+
+    ``rewinds_box`` (optional list) records the *rewind-checkpoint
+    stream*: one ``(pos, packed_ctx, n_events_so_far)`` triple per
+    buffer rewind (including the entry configuration).  At a rewind
+    every machine register is reset (``b == c``, ``ft == 0``, ε
+    registers cleared — matrix.go:608-627), so ``(pos, packed_ctx)``
+    fully determines the machine configuration; two walks that rewind
+    at the same position with the same packed context are provably in
+    identical configurations and have identical futures.  This is the
+    convergence criterion of speculative segmentation
+    (SURVEY.md §5 "long-context", option (a)).
     """
     is_da = tok.type() == "DATOK"
     eps = tok.epsilon
@@ -86,15 +106,49 @@ def transduce_events(
     text_end = (entry_state >> 29) & 1 != 0
     # Absolute buffer registers: b = buffer base (rewind point),
     # ft = bufft (dropped leading chars), c = cursor (buffc, absolute).
-    b = 0
+    b = start
     ft = 0
-    c = 0
+    c = start
+    nn = n if stop_at is None else min(n, stop_at)
+    # last-rewind checkpoint (mirrors the device machine's ckpt):
+    # the packed context at the most recent point where the buffer
+    # restarted with zeroed registers — a valid exact resume point
+    ck_ctx = entry_state
+    ck_b = start
+    if rewinds_box is not None:
+        rewinds_box.append((ck_b, ck_ctx, 0))
 
     in_loop = True  # False = epilogue (post-EOF) section
     while True:
         if in_loop:
             if newchar:
-                if c >= n:
+                if c >= nn:
+                    if stop_at is not None and c >= stop_at:
+                        # cut walk: stop cleanly before reading stop_at
+                        if registers_box is not None:
+                            registers_box.append(
+                                dict(
+                                    t=t,
+                                    ok=ok,
+                                    sentence_end=sentence_end,
+                                    text_end=text_end,
+                                    b=b,
+                                    ft=ft,
+                                    c=c,
+                                    eps_state=eps_state,
+                                    eps_offset=eps_offset,
+                                    ck_ctx=ck_ctx,
+                                    ck_b=ck_b,
+                                )
+                            )
+                        if exit_box is not None:
+                            exit_box.append(
+                                t
+                                | (sentence_end << 28)
+                                | (text_end << 29)
+                                | (ok << 30)
+                            )
+                        return events
                     in_loop = False
                     continue
                 cp = ord(text[c])
@@ -166,6 +220,10 @@ def transduce_events(
                 eps_state = 0
                 a = eps
                 t = 1
+                ck_ctx = 1 | (ok << 30)
+                ck_b = b
+                if rewinds_box is not None:
+                    rewinds_box.append((ck_b, ck_ctx, len(events)))
                 newchar = True
                 continue
 
@@ -214,6 +272,13 @@ def transduce_events(
                     t = int(base_arr[t] & RESTBIT)
             else:
                 t = traw & ~FIRSTBIT
+            if rewind:
+                ck_ctx = (
+                    t | (sentence_end << 28) | (text_end << 29) | (ok << 30)
+                )
+                ck_b = b
+                if rewinds_box is not None:
+                    rewinds_box.append((ck_b, ck_ctx, len(events)))
             newchar = True
             continue
 

@@ -190,8 +190,11 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=Fal
             def cond(carry):
                 live = live_of(carry)
                 n_live = jnp.sum(live.astype(I32))
+                # exit relative to live lanes (see jax_engine inner_cond:
+                # sparse batches must service promptly or stalled lanes
+                # idle a whole round per cold character)
                 ok_stalls = (carry["stalls"] * 8 <= BL) & (
-                    carry["stalls"] < n_live
+                    carry["stalls"] * 4 < n_live
                 )
                 return (carry["steps"] < K) & (n_live > 0) & ok_stalls
 
@@ -299,12 +302,14 @@ def _run_machine_pallas(
     """Fused-kernel machine: K-step Pallas rounds + XLA service steps."""
     L, B = meta_T.shape
     planes, hot_full_p2, cold_full_p2, hot_index, eps_avail, lc_avail = pallas_tables
-    # fixed-K rounds advance the global step counter by K even when
-    # lanes finish or stall mid-round, so the work budget is counted in
-    # rounds and the event buffer sized for the worst case (plus one
-    # service row per round)
-    r_max = -(-max_steps // K) + 8
-    max_steps_pad = r_max * (K + 2)
+    # The work budget is counted in *steps* (inner + service), not
+    # rounds: every outer round advances the step counter by at least
+    # one (a zero-inner-step round always runs exactly one service
+    # step), so the loop terminates, while cold-heavy few-lane batches
+    # — where the in-kernel early exit ends a round after ~1 step per
+    # cold character — still get their full step budget.  A rounds cap
+    # would starve them (each cold char costs a whole round).
+    max_steps_pad = max_steps + K + 8
 
     call = _kernel_call(
         spec, eps=eps, unknown=unknown, identity=identity, K=K, BL=BL,
@@ -389,9 +394,9 @@ def _run_machine_pallas(
         return jax.lax.while_loop(service_cond, service_body, out)
 
     def outer_cond(carry):
-        return (carry["rounds"] < r_max) & (
-            carry["steps"] + K + 2 <= max_steps_pad
-        ) & jnp.any(live_mask(carry))
+        return (carry["steps"] + K + 2 <= max_steps_pad) & jnp.any(
+            live_mask(carry)
+        )
 
     init = _init_carry(
         B, max_steps_pad, length, spec.eps1, spec.hid1,

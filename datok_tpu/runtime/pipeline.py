@@ -10,12 +10,23 @@ are replayed in order through one TokenWriter, which reproduces the
 reference's single-stream output byte for byte (including position
 counters that persist across texts).
 
-Documents longer than the packed-event segment limit run on device as
-*chained segments* (``events_long_batch``): each segment stops cleanly
-at its cut and hands the machine context checkpointed at its last
-buffer rewind to the next segment, which re-reads only the pending
-token's text — exact for any input, with host fallback for
-pathological single tokens longer than a segment.
+Documents longer than the packed-event segment limit run on device
+in one of two exact modes (SURVEY.md §5 "long-context"):
+
+* *chained* (``events_long_batch``): each segment stops cleanly at its
+  cut and hands the machine context checkpointed at its last buffer
+  rewind to the next segment, which re-reads only the pending token's
+  text.  Segments of one document are sequential; parallelism comes
+  from processing many documents at once.
+* *speculative* (``events_speculative_batch``): all segments of all
+  documents run as one parallel wave; non-initial segments start from
+  a guessed fresh context at their cut and each cut is verified on
+  host by rewind-stream convergence, falling back to chaining for the
+  rare document where speculation fails.  This parallelizes *inside*
+  a single giant document.
+
+Both are exact for any input, with host fallback for pathological
+single tokens longer than a segment.
 """
 
 from __future__ import annotations
@@ -25,9 +36,9 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from ..fsa.io import FIRSTBIT
-from .events import replay_events
+from .events import EV_SENT, replay_events
 from .jax_engine import MAX_SEGMENT, BatchEngine
-from .oracle import transduce_events_fast
+from .oracle import transduce_events, transduce_events_fast
 from .writer import SIMPLE, TokenWriter
 
 
@@ -217,6 +228,216 @@ def decode_events_batch_from(ys, n_steps):
     return decode_events_batch(ys, n_steps)
 
 
+def _stale_ok_at_cuts(encoder, doc: str, cuts, entry_ok: int):
+    """Exact stale-``ok`` flag at each cut position.
+
+    The reference only (re)assigns ``ok`` on the non-ASCII symbol path
+    (matrix.go:421-435), so its value at any position is "was the last
+    codepoint ≥ 256 before here in sigma" — bug-compatible persistence
+    that a speculative segment's entry context must reproduce, or pure
+    ASCII stretches could never converge with the true machine.
+    """
+    cps = np.frombuffer(
+        doc.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+    )
+    hi = np.nonzero(cps >= 256)[0]
+    keys = encoder.keys
+    if hi.size and len(keys):
+        vals = cps[hi].astype(np.int64)
+        idx = np.clip(np.searchsorted(keys, vals), 0, len(keys) - 1)
+        known = keys[idx] == vals
+    else:
+        known = np.zeros(len(hi), dtype=bool)
+    out = []
+    for cut in cuts:
+        p = int(np.searchsorted(hi, cut))
+        out.append(int(entry_ok) if p == 0 else int(known[p - 1]))
+    return out
+
+
+def _verify_cut(
+    tok, text: str, x_ctx: int, x_pos: int, cut: int, spec_entry: int,
+    seg_end: int, windows=(256, 2048, 8192),
+):
+    """Verify one speculative cut; return the splice or None.
+
+    Walks the *true* machine (host oracle) from the previous segment's
+    rewind checkpoint ``(x_ctx, x_pos)`` across the cut, and the
+    *speculative* machine from ``(spec_entry, cut)`` — the exact entry
+    the device lane used — recording both rewind-checkpoint streams.
+    The first true rewind at/after the cut that coincides with a
+    speculative rewind (same position, same packed context) proves the
+    two machines are in identical configurations; everything the device
+    lane emitted from that rewind on is exact.
+
+    Returns ``(true_events, n_spec_drop, spec_prefix)``:
+    the exact events covering ``[x_pos, convergence)`` (absolute
+    positions), the number of leading device events to drop, and the
+    host-replayed prefix those dropped events must equal (a device↔
+    oracle divergence check).  ``None`` = no convergence in the window
+    (pathological input — caller falls back to chained segmentation).
+    """
+    for w in windows:
+        stop = min(cut + w, seg_end)
+        spec_rw: List = []
+        spec_ev = transduce_events(
+            tok, text, entry_state=spec_entry, start=cut, stop_at=stop,
+            rewinds_box=spec_rw,
+        )
+        spec_at = {pos: (ctx, nev) for pos, ctx, nev in spec_rw}
+        tr_rw: List = []
+        tr_ev = transduce_events(
+            tok, text, entry_state=x_ctx, start=x_pos, stop_at=stop,
+            rewinds_box=tr_rw,
+        )
+        for pos, ctx, nev in tr_rw:
+            if pos < cut:
+                continue
+            hit = spec_at.get(pos)
+            if hit is not None and hit[0] == ctx:
+                return tr_ev[:nev], hit[1], spec_ev[: hit[1]]
+        if stop >= seg_end:
+            break
+    return None
+
+
+def events_speculative_batch(
+    engine: BatchEngine,
+    docs: Sequence[str],
+    seg_len: int = 8192,
+    entries: Optional[np.ndarray] = None,
+    max_lanes: int = 4096,
+):
+    """Transduce long documents via *speculative* segmentation.
+
+    Unlike :func:`events_long_batch` (sequential chaining of one
+    document's segments), every segment of every document runs as a
+    parallel device lane in one wave: segment 0 with the exact entry,
+    later segments speculatively from a fresh root context at their cut
+    (with the exact stale-``ok`` bit).  Cuts are then verified on host
+    by rewind-stream convergence (see :func:`_verify_cut`) — the
+    SURVEY.md §5 "overlap + speculative state-walk until lane state
+    converges" design.  Convergence normally happens at the first or
+    second token boundary after a cut, so the host walk is a few
+    hundred characters per cut.  Any document whose cuts fail to
+    verify (e.g. a single token spanning a whole segment) falls back
+    to exact chained segmentation.
+
+    Returns (events, exit_ctxs) with absolute positions per document.
+    """
+    tok = engine.tok
+    n = len(docs)
+    ent = np.ones(n, dtype=np.int32)
+    if entries is not None:
+        ent[:] = entries
+
+    # ---- lane plan: all segments of all documents -----------------------
+    doc_cuts: List[List[int]] = []
+    lane_text: List[str] = []
+    lane_entry: List[int] = []
+    lane_stop: List[bool] = []
+    lane_of: List[List[int]] = []  # per doc: lane indices in segment order
+    spec_entry_of: List[List[int]] = []
+    for k, doc in enumerate(docs):
+        cuts = list(range(0, len(doc), seg_len)) or [0]
+        doc_cuts.append(cuts)
+        entry_ok = (int(ent[k]) >> 30) & 1
+        oks = _stale_ok_at_cuts(engine.encoder, doc, cuts, entry_ok)
+        lanes = []
+        spec_entries = []
+        for j, cut in enumerate(cuts):
+            e = int(ent[k]) if j == 0 else (1 | (oks[j] << 30))
+            spec_entries.append(e)
+            lanes.append(len(lane_text))
+            lane_text.append(doc[cut : cut + seg_len])
+            lane_entry.append(e)
+            lane_stop.append(j < len(cuts) - 1)
+        lane_of.append(lanes)
+        spec_entry_of.append(spec_entries)
+
+    # ---- one parallel wave over all segments (grouped by lane budget) ---
+    total = len(lane_text)
+    decoded: List = [None] * total
+    bad = np.zeros(total, dtype=bool)
+    state = np.zeros((total, 6), dtype=np.int64)
+    for gi in range(0, total, max_lanes):
+        sl = slice(gi, min(gi + max_lanes, total))
+        meta, lengths, _ = engine.encoder.encode_batch(lane_text[sl])
+        ys, bad_g, n_steps, state_g = engine.run_raw(
+            meta,
+            lengths,
+            entries=np.asarray(lane_entry[sl], dtype=np.int32),
+            stops=np.asarray(lane_stop[sl], dtype=bool),
+        )
+        dec_g = decode_events_batch_from(ys, n_steps)
+        decoded[sl] = dec_g
+        bad[sl] = np.asarray(bad_g, dtype=bool)
+        state[sl] = np.asarray(state_g)[:, : state.shape[1]]
+
+    # ---- stitch: verify each cut, splice exact events --------------------
+    events: List[List] = [None] * n
+    exit_ctx = np.ones(n, dtype=np.int32)
+    chained_fallback: List[int] = []
+    for k, doc in enumerate(docs):
+        cuts = doc_cuts[k]
+        lanes = lane_of[k]
+        K = len(lanes)
+        if any(bad[lane] for lane in lanes):
+            chained_fallback.append(k)
+            continue
+        evs: List = []
+        x_ctx = x_pos = None
+        failed = False
+        for j, lane in enumerate(lanes):
+            cut = cuts[j]
+            seg_end = cuts[j + 1] if j + 1 < K else len(doc)
+            dec_abs = [(kd, s + cut, e + cut) for kd, s, e in decoded[lane]]
+            drop = 0
+            if j > 0:
+                r = _verify_cut(
+                    tok, doc, x_ctx, x_pos, cut, spec_entry_of[k][j], seg_end
+                )
+                if r is None:
+                    failed = True
+                    break
+                true_evs, drop, spec_prefix = r
+                if drop > len(dec_abs) or dec_abs[:drop] != spec_prefix:
+                    failed = True  # device↔oracle divergence — be exact
+                    break
+                evs.extend(true_evs)
+            body = dec_abs[drop:]
+            if j < K - 1:
+                b_exit = int(state[lane, 2])
+                if b_exit <= 0:
+                    # no rewind inside the segment (token spans it all)
+                    failed = True
+                    break
+                # events after the last rewind are re-emitted by the
+                # next cut's true walk (only SENTs can follow a rewind)
+                while body and body[-1][0] == EV_SENT:
+                    body.pop()
+                x_ctx = int(state[lane, 1])
+                x_pos = cut + b_exit
+            evs.extend(body)
+        if failed:
+            chained_fallback.append(k)
+            continue
+        events[k] = evs
+        exit_ctx[k] = int(state[lanes[-1], 0])
+
+    if chained_fallback:
+        evs_c, exits_c = events_long_batch(
+            engine,
+            [docs[k] for k in chained_fallback],
+            seg_len=seg_len,
+            entries=ent[chained_fallback],
+        )
+        for k, ev, ex in zip(chained_fallback, evs_c, exits_c):
+            events[k] = ev
+            exit_ctx[k] = ex
+    return events, exit_ctx
+
+
 def tokenize_stream(
     tok,
     text: str,
@@ -225,6 +446,7 @@ def tokenize_stream(
     engine: Optional[BatchEngine] = None,
     accelerated: bool = True,
     max_lanes: int = 4096,
+    long_strategy: str = "auto",
 ) -> TokenWriter:
     """Tokenize one stream through the batched device engine.
 
@@ -283,9 +505,20 @@ def tokenize_stream(
                     exits[k] = ex
                     have[k] = True
             if large:
-                # long documents: device-side chained segmentation,
-                # parallel across the long documents of this wave
-                evs_l, exits_l = events_long_batch(
+                # Long documents: chained segmentation parallelizes
+                # *across* documents only, so with few giant documents
+                # the device lanes sit idle — speculate across each
+                # document's own segments instead (one wave of all
+                # segments + host cut verification).  With many long
+                # documents, chaining already saturates the lanes and
+                # costs no host walks.
+                spec = long_strategy == "speculative" or (
+                    long_strategy == "auto" and len(large) < 64
+                )
+                run_long = (
+                    events_speculative_batch if spec else events_long_batch
+                )
+                evs_l, exits_l = run_long(
                     engine, [docs[k] for k in large], entries=entries[large]
                 )
                 for k, ev, ex in zip(large, evs_l, exits_l):

@@ -1,8 +1,9 @@
-"""ctypes bindings for the native host runtime (native/datok_host.cpp).
+"""ctypes bindings for the native host runtime (datok_tpu/native/datok_host.cpp).
 
-The shared library is built on demand with g++ (cached next to the
-source); every consumer has a pure-Python fallback, so a missing
-toolchain degrades gracefully.
+The shared library is built on demand with g++ — next to the source
+when that directory is writable (dev checkout), otherwise into
+``$XDG_CACHE_HOME/datok_tpu`` (wheel installs); every consumer has a
+pure-Python fallback, so a missing toolchain degrades gracefully.
 """
 
 from __future__ import annotations
@@ -18,25 +19,37 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
-_HERE = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_HERE, "native", "datok_host.cpp")
-_SO = os.path.join(_HERE, "native", "libdatok_host.so")
+_PKG = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_PKG, "native", "datok_host.cpp")
 
 
-def _build() -> bool:
+def _so_path() -> str:
+    d = os.path.dirname(_SRC)
+    if os.access(d, os.W_OK):
+        return os.path.join(d, "libdatok_host.so")
+    cache = os.environ.get(
+        "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+    )
+    d = os.path.join(cache, "datok_tpu")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "libdatok_host.so")
+
+
+def _build() -> str | None:
     if not os.path.exists(_SRC):
-        return False
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return True
+        return None
+    so = _so_path()
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
+        return so
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", so, _SRC],
             check=True,
             capture_output=True,
         )
-        return True
+        return so
     except Exception:
-        return False
+        return None
 
 
 def get_lib():
@@ -46,9 +59,10 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _build():
+        so = _build()
+        if so is None:
             return None
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
         i8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         u32p = ctypes.POINTER(ctypes.c_uint32)

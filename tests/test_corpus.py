@@ -16,7 +16,8 @@ def test_corpus_runner_resume(mat_de, tmp_path):
     out = tmp_path / "out"
     r = CorpusRunner(mat_de, str(out))
     stats = r.run(files)
-    assert stats == {"done": 3, "skipped": 0, "total": 3}
+    assert (stats["done"], stats["skipped"], stats["total"]) == (3, 0, 3)
+    assert stats["bytes_in"] > 0 and stats["bytes_out"] > 0
     for p in files:
         expected = mat_de.tokenize(open(p, encoding="utf-8").read())
         assert open(r.out_path(p), encoding="utf-8").read() == expected
@@ -24,12 +25,12 @@ def test_corpus_runner_resume(mat_de, tmp_path):
     # resume skips completed files
     r2 = CorpusRunner(mat_de, str(out))
     stats = r2.run(files)
-    assert stats == {"done": 0, "skipped": 3, "total": 3}
+    assert (stats["done"], stats["skipped"], stats["total"]) == (0, 3, 3)
 
     # changed source re-processes
     open(files[1], "w", encoding="utf-8").write("Neu!")
     stats = CorpusRunner(mat_de, str(out)).run(files)
-    assert stats == {"done": 1, "skipped": 2, "total": 3}
+    assert (stats["done"], stats["skipped"], stats["total"]) == (1, 2, 3)
 
     m = json.load(open(out / "manifest.json", encoding="utf-8"))
     assert len(m["files"]) == 3

@@ -48,3 +48,56 @@ def test_graft_entry_contract():
     ys, bad, steps, exits = fn(*args)
     assert int(bad.sum()) == 0
     g.dryrun_multichip(8)
+
+
+# ---- multi-host distribution primitives (single-process semantics) ----
+
+
+def test_process_shard_partition():
+    from datok_tpu.parallel.distributed import process_shard
+
+    items = [f"f{i}" for i in range(23)]
+    for pc in (1, 2, 3, 8, 23, 40):
+        shards = [process_shard(items, pi, pc) for pi in range(pc)]
+        flat = [x for s in shards for x in s]
+        assert flat == items  # exact cover, order-preserving
+        sizes = [len(s) for s in shards]
+        assert max(sizes) - min(sizes) <= 1  # balanced
+
+
+def test_initialize_single_process_noop():
+    from datok_tpu.parallel import distributed
+
+    assert distributed.initialize() is False  # no coordinator configured
+
+
+def test_global_mesh_single_host():
+    import jax
+    from datok_tpu.parallel.distributed import global_mesh
+
+    mesh = global_mesh()
+    assert mesh.axis_names == ("host", "data")
+    assert mesh.shape["host"] == 1
+    assert mesh.shape["data"] == jax.local_device_count()
+
+
+def test_allreduce_counters_identity():
+    from datok_tpu.parallel.distributed import allreduce_counters
+
+    c = {"tokens": 5, "bytes": 123}
+    assert allreduce_counters(c) == c
+
+
+def test_run_corpus_distributed_single_process(mat_de, tmp_path):
+    from datok_tpu.parallel.distributed import run_corpus_distributed
+
+    files = []
+    for i in range(3):
+        p = tmp_path / f"d{i}.txt"
+        p.write_text(f"Der {i}. Satz hier!\x04")
+        files.append(str(p))
+    stats = run_corpus_distributed(mat_de, files, str(tmp_path / "out"))
+    assert stats["done"] == 3
+    assert stats["processes"] == 1
+    out0 = open(tmp_path / "out" / "d0.txt.tok", encoding="utf-8").read()
+    assert out0 == mat_de.tokenize("Der 0. Satz hier!\x04")

@@ -67,10 +67,21 @@ def test_cli_convert_and_tokenize(tmp_path, capsys):
     assert capsys.readouterr().out == "Der\nalte\nMann\n.\n\n\n"
 
 
-def test_long_document_segmentation(mat_de):
+def test_long_document_segmentation(mat_de, monkeypatch):
+    import datok_tpu.runtime.oracle as O
     from datok_tpu.runtime.jax_engine import BatchEngine
     from datok_tpu.runtime.oracle import transduce_events
     from datok_tpu.runtime.pipeline import events_long_batch
+
+    # only the pathological all-x document may take the host fallback —
+    # everything else must chain on device (guards against the batch
+    # silently degrading to the exact-but-host path)
+    host_docs = []
+    orig_fast = O.transduce_events_fast
+    def spy_fast(tok, text, *a, **k):
+        host_docs.append(text[:8])
+        return orig_fast(tok, text, *a, **k)
+    monkeypatch.setattr(O, "transduce_events_fast", spy_fast)
 
     eng = BatchEngine(mat_de)
     base = (
@@ -87,6 +98,104 @@ def test_long_document_segmentation(mat_de):
     evs, exits = events_long_batch(eng, docs, seg_len=1024)
     for d, e in zip(docs, evs):
         assert e == transduce_events(mat_de, d), len(d)
+    assert host_docs == ["xxxxxxxx"], host_docs
+
+
+def test_oracle_rewind_checkpoints_resume_exactly(mat_de):
+    """Any recorded rewind checkpoint is an exact resume point."""
+    from datok_tpu.runtime.oracle import transduce_events
+
+    text = (
+        "Der alte Mann ging, z.B. am 5.9.2018, zur Weststr. 3! "
+        'Müller sagte: "Gut." \x04Und weiter geht es hier.'
+    )
+    rw = []
+    full = transduce_events(mat_de, text, rewinds_box=rw)
+    assert rw[0] == (0, 1, 0)
+    pos_seen = [p for p, _, _ in rw]
+    assert pos_seen == sorted(set(pos_seen)), "rewind positions must strictly increase"
+    for pos, ctx, nev in rw:
+        tail = transduce_events(mat_de, text, entry_state=ctx, start=pos)
+        assert full[nev:] == tail, (pos, ctx)
+
+
+def test_oracle_cut_walk_stops_cleanly(mat_de):
+    from datok_tpu.runtime.oracle import transduce_events
+
+    text = "Der alte Mann. Ging weiter."
+    full = transduce_events(mat_de, text)
+    rw = []
+    pre = transduce_events(mat_de, text, stop_at=15, rewinds_box=rw)
+    # stopping mid-stream emits exactly the events of completed rewinds
+    assert pre == full[: len(pre)]
+    assert all(p <= 15 for p, _, _ in rw)
+
+
+def test_speculative_segmentation(mat_de, monkeypatch):
+    import datok_tpu.runtime.pipeline as P
+    from datok_tpu.runtime.jax_engine import BatchEngine
+    from datok_tpu.runtime.oracle import transduce_events
+    from datok_tpu.runtime.pipeline import events_speculative_batch
+
+    # guard against the whole batch silently degrading to the chained/
+    # host fallback (which would make this test vacuous): only the
+    # pathological all-x document may fall back
+    fallbacks = []
+    orig_chained = P.events_long_batch
+    monkeypatch.setattr(
+        P,
+        "events_long_batch",
+        lambda engine, docs, seg_len=8192, entries=None: (
+            fallbacks.extend(d[:8] for d in docs),
+            orig_chained(engine, docs, seg_len=seg_len, entries=entries),
+        )[1],
+    )
+
+    eng = BatchEngine(mat_de)
+    base = (
+        "Der Vorsitzende der Abk. hat z.B. gewählt. Bald darauf folgte, "
+        'laut "Bericht", die 2. Wahl am 5.9.2018 auf wikipedia.org!\n'
+    )
+    ascii_run = "Ein Mann geht am Tag zur Wahl und waehlt die Liste Nr. 7. "
+    docs = [
+        base * 40,                         # ~5 KB, many cuts
+        "Der alte Mann. " * 300,
+        base[:300],                        # single segment
+        "x" * 2500 + " kurz.",             # token spans segments → fallback
+        "A\x04" + base * 20 + "\x04Ende.",  # EOTs inside a long doc
+        # stale-ok exactness: one known non-ASCII char, then pure ASCII
+        "Müller. " + ascii_run * 60,
+        # stale-ok with an *unknown* non-ASCII char (identity path)
+        "ᛄ " + ascii_run * 60,
+        ascii_run * 60,                    # never any non-ASCII
+    ]
+    assert "ᛄ" not in map(chr, mat_de.sigma)  # fixture sanity
+    evs, exits = events_speculative_batch(eng, docs, seg_len=1024)
+    for d, e in zip(docs, evs):
+        assert e == transduce_events(mat_de, d), d[:40]
+    assert fallbacks == ["xxxxxxxx"], fallbacks
+
+
+def test_speculative_matches_chained_exit_contexts(mat_de):
+    from datok_tpu.runtime.jax_engine import BatchEngine
+    from datok_tpu.runtime.pipeline import (
+        events_long_batch,
+        events_speculative_batch,
+    )
+
+    eng = BatchEngine(mat_de)
+    docs = ["Ein Satz. " * 500, "Wort `", "Zwei Sätze hier. " * 200]
+    ev_s, ex_s = events_speculative_batch(eng, docs, seg_len=1024)
+    ev_c, ex_c = events_long_batch(eng, docs, seg_len=1024)
+    assert ev_s == ev_c
+    assert list(ex_s) == list(ex_c)
+
+
+def test_stream_speculative_strategy(mat_de):
+    base = "Ein Satz mit Wörtern und z.B. Abkürzungen bzw. Zahlen wie 3,5 Mio. "
+    stream = (base * 600) + "\x04" + (base * 3) + "\x04kurz"
+    w = tokenize_stream(mat_de, stream, long_strategy="speculative")
+    assert w.getvalue() == mat_de.tokenize(stream)
 
 
 def test_stream_with_long_docs(mat_de):
