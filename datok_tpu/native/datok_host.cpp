@@ -244,6 +244,135 @@ int64_t dt_transduce(const uint32_t* table, int32_t state_count, int32_t eps,
   return nev / 3;
 }
 
+// Cut walk for speculative segmentation (runtime/oracle.py
+// transduce_events(start/stop_at/rewinds_box) semantics): replay from a
+// rewind checkpoint `t_init` with buffer base `start` over absolute
+// document metas, stopping cleanly before reading the character at
+// `stop_at` — no EOF epilogue, no residual flush.  Emits events
+// (absolute positions) and the rewind-checkpoint stream as
+// (pos, packed_ctx, n_events_so_far) triples, including the entry
+// configuration.  Returns event count, or -1 on capacity overflow
+// (`n_rw` in/out: capacity in, count out).
+int64_t dt_cut_walk(const uint32_t* table, int32_t state_count, int32_t eps,
+                    int32_t unknown, int32_t identity, int32_t t_init,
+                    const int32_t* metas, int64_t start, int64_t stop_at,
+                    int32_t* ev, int64_t ev_cap, int32_t* rw, int64_t* n_rw) {
+  const int64_t S = state_count;
+  const int64_t rw_cap = *n_rw;
+  int64_t nev = 0, nrw = 0;
+#define EMIT(k, s, e)                        \
+  do {                                       \
+    if (nev + 3 > ev_cap) return -1;         \
+    ev[nev++] = (k);                         \
+    ev[nev++] = (int32_t)(s);                \
+    ev[nev++] = (int32_t)(e);                \
+  } while (0)
+#define CKPT(p, ctx)                         \
+  do {                                       \
+    if (nrw + 3 > rw_cap) return -1;         \
+    rw[nrw++] = (int32_t)(p);                \
+    rw[nrw++] = (int32_t)(ctx);              \
+    rw[nrw++] = (int32_t)(nev / 3);          \
+  } while (0)
+
+  uint32_t t = (uint32_t)t_init & 0x0FFFFFFF;
+  int64_t t0 = 0;
+  int32_t a = 0;
+  bool ok = ((t_init >> 30) & 1) != 0, eot = false;
+  int64_t eps_state = 0, eps_offset = 0;
+  bool sentence_end = ((t_init >> 28) & 1) != 0;
+  bool text_end = ((t_init >> 29) & 1) != 0;
+  int64_t b = start, ft = 0, c = start;
+  bool newchar = true;
+  CKPT(start, t_init);
+
+  for (;;) {
+    if (newchar) {
+      if (c >= stop_at) break;  // stop cleanly before reading stop_at
+      uint32_t m = (uint32_t)metas[c];
+      a = (int32_t)(m & 0xFFFF);
+      eot = (m & META_EOT) != 0;
+      if (m & META_NONASCII) ok = (m & META_FOUND) != 0;
+      t0 = (int64_t)t;
+      if (table[(int64_t)(eps - 1) * S + t0] != 0) {
+        eps_state = t0;
+        eps_offset = c;
+      }
+    }
+    uint32_t traw = (a == 0) ? 0u : table[(int64_t)(a - 1) * S + t0];
+    if (traw == 0) {
+      if (!ok && a == identity) {
+        a = unknown;
+        newchar = false;
+        eot = false;
+        continue;
+      } else if (a != eps && eps_state != 0) {
+        t0 = eps_state;
+        eps_state = 0;
+        c = eps_offset;
+        a = eps;
+        newchar = false;
+        eot = false;
+        continue;
+      } else {
+        if (c - b - ft <= 0) c++;
+        EMIT(1, b + ft, c);
+        sentence_end = false;
+        text_end = false;
+        b = c;
+        ft = 0;
+        eps_state = 0;
+        a = eps;
+        t = 1;
+        CKPT(b, 1u | ((uint32_t)ok << 30));
+        newchar = true;
+        continue;
+      }
+    }
+    bool rewind = false;
+    bool nontoken = (traw & FIRSTBIT) != 0;
+    if (a == eps) {
+      if (c - b > ft) {
+        EMIT(1, b + ft, c);
+        rewind = true;
+        sentence_end = false;
+        text_end = false;
+      } else {
+        sentence_end = true;
+        EMIT(2, c, c);
+      }
+    } else {
+      c++;
+      if ((c - b) - ft == 1 && nontoken) ft++;
+    }
+    if (eot) {
+      eot = false;
+      if (!sentence_end) {
+        sentence_end = true;
+        EMIT(2, c, c);
+      }
+      text_end = true;
+      EMIT(3, c, c);
+      rewind = true;
+    }
+    if (rewind) {
+      b = c;
+      ft = 0;
+      eps_offset = 0;
+      eps_state = 0;
+    }
+    t = traw & ~FIRSTBIT;
+    if (rewind)
+      CKPT(b, t | ((uint32_t)sentence_end << 28) | ((uint32_t)text_end << 29) |
+                   ((uint32_t)ok << 30));
+    newchar = true;
+  }
+#undef CKPT
+#undef EMIT
+  *n_rw = nrw / 3;
+  return nev / 3;
+}
+
 // ---------------------------------------------------------------------------
 // Event formatting with TokenWriter parity (token_writer.go:36-175)
 // ---------------------------------------------------------------------------

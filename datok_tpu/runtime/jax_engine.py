@@ -1150,7 +1150,7 @@ class BatchEngine:
         service_k: Optional[int] = None,
         profile_texts: Optional[Sequence[str]] = None,
         engine: str = "auto",
-        kernel_k: int = 64,
+        kernel_k: int = 128,
         kernel_bl: int = 2048,
         kernel_early_exit: bool = True,
         pallas_interpret: bool = False,

@@ -255,9 +255,43 @@ def _stale_ok_at_cuts(encoder, doc: str, cuts, entry_ok: int):
     return out
 
 
+def _full_doc_metas(encoder, doc: str):
+    """Absolute-indexed packed symbol metas for a whole document.
+
+    Used by the native cut walks; None when the native encoder is
+    unavailable (cut walks then run on the Python oracle).  One char
+    per codepoint, matching Python string indexing.
+    """
+    try:
+        from ..utils.native import native_encode
+
+        r = native_encode(encoder, doc.encode("utf-8", "surrogatepass"))
+        if r is not None:
+            return r[1]
+    except Exception:
+        pass
+    return None
+
+
+def _cut_walk(tok, text, metas, entry, start, stop):
+    """One bounded walk: events + rewind stream, native when possible."""
+    if metas is not None:
+        from ..utils.native import native_cut_walk
+
+        r = native_cut_walk(tok, metas, entry, start, stop)
+        if r is not None:
+            return r
+    rw: List = []
+    ev = transduce_events(
+        tok, text, entry_state=entry, start=start, stop_at=stop,
+        rewinds_box=rw,
+    )
+    return ev, rw
+
+
 def _verify_cut(
     tok, text: str, x_ctx: int, x_pos: int, cut: int, spec_entry: int,
-    seg_end: int, windows=(256, 2048, 8192),
+    seg_end: int, windows=(256, 2048, 8192), metas=None,
 ):
     """Verify one speculative cut; return the splice or None.
 
@@ -279,17 +313,9 @@ def _verify_cut(
     """
     for w in windows:
         stop = min(cut + w, seg_end)
-        spec_rw: List = []
-        spec_ev = transduce_events(
-            tok, text, entry_state=spec_entry, start=cut, stop_at=stop,
-            rewinds_box=spec_rw,
-        )
+        spec_ev, spec_rw = _cut_walk(tok, text, metas, spec_entry, cut, stop)
         spec_at = {pos: (ctx, nev) for pos, ctx, nev in spec_rw}
-        tr_rw: List = []
-        tr_ev = transduce_events(
-            tok, text, entry_state=x_ctx, start=x_pos, stop_at=stop,
-            rewinds_box=tr_rw,
-        )
+        tr_ev, tr_rw = _cut_walk(tok, text, metas, x_ctx, x_pos, stop)
         for pos, ctx, nev in tr_rw:
             if pos < cut:
                 continue
@@ -338,9 +364,13 @@ def events_speculative_batch(
     lane_stop: List[bool] = []
     lane_of: List[List[int]] = []  # per doc: lane indices in segment order
     spec_entry_of: List[List[int]] = []
+    doc_metas: List = []
     for k, doc in enumerate(docs):
         cuts = list(range(0, len(doc), seg_len)) or [0]
         doc_cuts.append(cuts)
+        doc_metas.append(
+            _full_doc_metas(engine.encoder, doc) if len(cuts) > 1 else None
+        )
         entry_ok = (int(ent[k]) >> 30) & 1
         oks = _stale_ok_at_cuts(engine.encoder, doc, cuts, entry_ok)
         lanes = []
@@ -395,7 +425,8 @@ def events_speculative_batch(
             drop = 0
             if j > 0:
                 r = _verify_cut(
-                    tok, doc, x_ctx, x_pos, cut, spec_entry_of[k][j], seg_end
+                    tok, doc, x_ctx, x_pos, cut, spec_entry_of[k][j],
+                    seg_end, metas=doc_metas[k],
                 )
                 if r is None:
                     failed = True

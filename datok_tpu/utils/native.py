@@ -78,6 +78,13 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32, i32p, ctypes.c_int64, i32p,
             ctypes.c_int64, i32p,
         ]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.dt_cut_walk.restype = ctypes.c_int64
+        lib.dt_cut_walk.argtypes = [
+            u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, i32p, ctypes.c_int64,
+            ctypes.c_int64, i32p, ctypes.c_int64, i32p, i64p,
+        ]
         lib.dt_writer_new.restype = ctypes.c_void_p
         lib.dt_writer_new.argtypes = [ctypes.c_int]
         lib.dt_writer_free.argtypes = [ctypes.c_void_p]
@@ -155,6 +162,47 @@ def native_transduce_events(
     if as_array:
         return tri.copy()
     return [tuple(r) for r in tri.tolist()]
+
+
+def native_cut_walk(
+    tok, metas: np.ndarray, entry_state: int, start: int, stop_at: int
+):
+    """Cut walk via the native library, or None if unavailable.
+
+    ``metas`` are the *full document* packed symbol metas (absolute
+    indexing).  Returns ``(events, rewinds)`` matching the oracle's
+    ``transduce_events(start=, stop_at=, rewinds_box=)`` semantics:
+    events as (kind, start, end) tuples, rewinds as
+    (pos, packed_ctx, n_events_so_far) tuples including the entry.
+    """
+    lib = get_lib()
+    if lib is None or tok.type() != "MATOK":
+        return None
+    span = max(0, int(stop_at) - int(start))
+    ev_cap = (2 * span + 16) * 3
+    rw_cap = (span + 16) * 3
+    ev = np.empty(ev_cap, dtype=np.int32)
+    rw = np.empty(rw_cap, dtype=np.int32)
+    n_rw = np.array([rw_cap], dtype=np.int64)
+    table = getattr(tok, "_native_table", None)
+    if table is None:
+        table = np.ascontiguousarray(tok.array, dtype=np.uint32)
+        tok._native_table = table
+    metas = np.ascontiguousarray(metas, dtype=np.int32)
+    cnt = lib.dt_cut_walk(
+        _ptr(table, ctypes.c_uint32), tok.state_count,
+        tok.epsilon, tok.unknown, tok.identity, int(entry_state),
+        _ptr(metas, ctypes.c_int32), int(start), int(stop_at),
+        _ptr(ev, ctypes.c_int32), ev_cap,
+        _ptr(rw, ctypes.c_int32), _ptr(n_rw, ctypes.c_int64),
+    )
+    if cnt < 0:
+        return None
+    events = [tuple(r) for r in ev[: cnt * 3].reshape(-1, 3).tolist()]
+    rewinds = [
+        tuple(r) for r in rw[: int(n_rw[0]) * 3].reshape(-1, 3).tolist()
+    ]
+    return events, rewinds
 
 
 class NativeWriter:

@@ -60,3 +60,33 @@ def test_native_writer_all_flags(mat_de, enc):
 def test_fast_oracle_dispatch(mat_de):
     text = "Der alte Mann. Und z.B. readme.txt!"
     assert transduce_events_fast(mat_de, text) == transduce_events(mat_de, text)
+
+
+def test_native_cut_walk_parity(mat_de, enc):
+    from datok_tpu.utils.native import native_cut_walk
+
+    text = (
+        "Der alte Mann ging, z.B. am 5.9.2018, zur Weststr. 3! "
+        'Müller sagte: "Gut." \x04Und weiter geht es hier im Text. '
+        "korap@ids-mannheim.de und www.wikipedia.org! Ende gut."
+    )
+    _cps, metas = native_encode(enc, text.encode("utf-8"))
+
+    # collect real checkpoints from a full oracle walk, then replay cut
+    # walks from each of them with several stop positions
+    rw_full = []
+    transduce_events(mat_de, text, rewinds_box=rw_full)
+    assert len(rw_full) > 5
+    for pos, ctx, _nev in rw_full:
+        for stop in (pos, pos + 7, pos + 40, len(text)):
+            stop = min(stop, len(text))
+            o_rw = []
+            o_ev = transduce_events(
+                mat_de, text, entry_state=ctx, start=pos, stop_at=stop,
+                rewinds_box=o_rw,
+            )
+            n = native_cut_walk(mat_de, metas, ctx, pos, stop)
+            assert n is not None
+            n_ev, n_rw = n
+            assert n_ev == o_ev, (pos, ctx, stop)
+            assert n_rw == o_rw, (pos, ctx, stop)
