@@ -84,6 +84,19 @@ _HE_NONTOK = 4
 _HE_EPS = 8
 _HE_LC = 16
 
+# Tagged state encoding of the fused (Pallas) machine: registers hold
+# TAG_HOT|hot_id or TAG_COLD|cold_id instead of full state ids, decoded
+# only at service boundaries and machine exit.  TAG_EPSOF|hot_id is a
+# *lazy* tag written by fused boundary steps: "the ε-target of hot
+# state hot_id" — consuming it (a later backtrack, a segmentation
+# resume) is rare and already routes through the service step / exit
+# decode, where full tables resolve it exactly.
+TAG_HOT = 1 << 24
+TAG_COLD = 1 << 25
+TAG_EPSOF = 1 << 26
+TAG_MASK = TAG_HOT | TAG_COLD | TAG_EPSOF
+PAYLOAD_MASK = 0x7FF
+
 RING = 128  # meta ring window rows
 
 
@@ -294,9 +307,11 @@ def _make_step(
         t0_t = jnp.where(m_read0, t, t0)
         t0_hid_t = jnp.where(m_read0, hid, t0_hid)
 
-        can_tr, valid, nontok, t_succ, t_succ_hid, eps_tgt, lc_tgt = fetch_trans(
-            carry, t0_t, t0_hid_t, a_t
-        )
+        _ft_res = fetch_trans(carry, t0_t, t0_hid_t, a_t)
+        can_tr, valid, nontok, t_succ, t_succ_hid, eps_tgt, lc_tgt = _ft_res[:7]
+        # optional 8th element: fused-boundary entry fields (see the
+        # m_bf path below; only the Pallas kernel fetch provides it)
+        fus = _ft_res[7] if len(_ft_res) > 7 else None
 
         # run skipping: a lowercase-absorbing state consumes the whole
         # [a-z] run in one step (each skipped char would take the same
@@ -339,8 +354,28 @@ def _make_step(
         # the last run position
         eps_o = jnp.where(probe, jnp.where(m_skip, c + rl - 1, c), eps_o)
 
+        # ---- fused boundary (kernel only) ---------------------------------
+        # One step for the static composition "no direct arc → backtrack
+        # → ε token flush (rewind) → re-read consume" (matrix.go:442-591).
+        # Runtime gates keep every excluded corner on the exact slow
+        # path: a pending token must exist (else the ε is a sentence
+        # end), EOT keeps its special handling, and a stale-ok identity
+        # symbol must take the identity→unknown retry first.
+        if fus is not None:
+            m_bf = (
+                m_read
+                & ~m_skip
+                & ~valid
+                & fus["have"]
+                & ((c - b) > ft)
+                & ~eot
+                & (ok | (a != identity))
+            )
+        else:
+            m_bf = jnp.zeros_like(m_read)
+
         # ---- transition outcome -----------------------------------------
-        m_trans = (m_read & ~m_skip) | m_old
+        m_trans = ((m_read & ~m_skip) | m_old) & ~m_bf
         m_fail = m_trans & ~valid
         f1 = m_fail & ~ok & (a == identity)
         f2 = m_fail & ~f1 & (a != eps) & (eps_s != 0)
@@ -381,7 +416,7 @@ def _make_step(
         efin_text = efin & ~tflag_e
 
         # ---- event emission (candidates are always ordered T, S, X) ------
-        w_tok = flush | f3 | resid
+        w_tok = flush | f3 | resid | m_bf
         w_sent = sent | sent2 | efin_sent
         w_text = e_m | efin_text
         tok_start = b + ft
@@ -452,6 +487,35 @@ def _make_step(
             ckpt,
         )
 
+        if fus is not None:
+            # Fused-path register updates, replicating the exact final
+            # registers of the three composed steps: token emitted
+            # (handled via w_tok above), rewind at c, consume to c+1
+            # with the leading-nontoken drop, machine at the fused
+            # entry's final target, backtrack register = ε-target (as
+            # the lazy TAG_EPSOF sentinel) iff ε is available there,
+            # checkpoint = ε-target context at the rewind position.
+            t_new = jnp.where(m_bf, fus["t"], t_new)
+            hid_new = jnp.where(m_bf, fus["hid"], hid_new)
+            eps_t_new = _bsel(m_bf, fus["epst"], eps_t_new)
+            lc_new = _bsel(m_bf, fus["lct"], lc_new)
+            c_new = jnp.where(m_bf, c + 1, c_new)
+            b_new = jnp.where(m_bf, c, b_new)
+            ft_new = jnp.where(m_bf, fus["nontok"].astype(I32), ft_new)
+            eps_s_new = jnp.where(
+                m_bf,
+                jnp.where(fus["avail_e"], fus["bt"], 0),
+                eps_s_new,
+            )
+            eps_s_hid_new = jnp.where(m_bf, -1, eps_s_hid_new)
+            eps_o_new = jnp.where(m_bf, c, eps_o_new)
+            newchar_new = _bsel(m_bf, True, newchar_new)
+            sflag_new = _bsel(m_bf, False, sflag_new)
+            tflag_new = _bsel(m_bf, False, tflag_new)
+            ckpt_new = jnp.where(
+                m_bf, fus["bt"] | (ok.astype(I32) << 30), ckpt_new
+            )
+
         out = dict(carry)
         if emit_fn is None:
             out["ys"] = jax.lax.dynamic_update_slice(
@@ -490,7 +554,7 @@ def _make_step(
             # the fused kernel turns them off
             out["stalls"] = jnp.sum(stall.astype(I32))
             out["cold"] = jnp.sum(cold_stall.astype(I32))
-        out["n_backtrack"] = nbt + f2.astype(I32)
+        out["n_backtrack"] = nbt + (f2 | m_bf).astype(I32)
         out["n_force"] = nfe + f3.astype(I32)
         return aux_update(out) if aux_update is not None else out
 
@@ -740,6 +804,8 @@ class HotSpec:
         cold_targets = np.unique(tgt[valid & ~is_hot])
         self.n_cold = len(cold_targets)
         self.pallas_ok = (H <= 2047) and (self.n_cold <= 2047)
+        self.fused_ok = False
+        self.hot_eps_full = np.zeros(H, dtype=np.int32)
         if self.pallas_ok:
             cold_index = {int(s): i for i, s in enumerate(cold_targets)}
             cold_id = np.zeros_like(tgt)
@@ -759,6 +825,47 @@ class HotSpec:
                 | (payload16 << 5),
                 0,
             ).astype(np.int64)
+            # Fused boundary entries (see _make_step's m_bf path):
+            # every inter-token boundary costs three machine steps —
+            # read-fail, backtrack + ε token flush, re-read consume
+            # (matrix.go:442-591) — but the composition is static per
+            # (state, symbol): no direct arc, ε arc present, consume
+            # from the ε-target valid.  Encoded as bit0=0 bit1=1 (an
+            # impossible combination for plain entries), consume-arc
+            # flags in bits 2-4, the *final* target's hot id in bits
+            # 5-14 (10 bits → requires H ≤ 1023 and a hot final
+            # target; anything else stays on the exact slow path), and
+            # ε-availability at the ε-target in bit 15 (needed for the
+            # backtrack register).  The ε-target itself is not encoded:
+            # registers that need it get the lazy TAG_EPSOF sentinel.
+            eps_tgt_all = (eps_cells & ~np.uint32(FIRSTBIT)).astype(np.int64)
+            self.fused_ok = H <= 1023
+            if self.fused_ok:
+                e_of = eps_tgt_all[hot_states]  # (H,)
+                has_e = eps_avail[hot_states].astype(bool)
+                cells_e = np.where(
+                    has_e[None, :],
+                    arr[((aa[:, None] - 1) * S + e_of[None, :])],
+                    np.uint32(0),
+                )  # (A, H)
+                f_tgt = (cells_e & ~np.uint32(FIRSTBIT)).astype(np.int64)
+                f_hid = hot_index[f_tgt].astype(np.int64)
+                fusable = (~valid) & (cells_e != 0) & (f_hid >= 0)
+                fusable[eps - 1, :] = False  # ε is never an input symbol
+                fentry = np.where(
+                    fusable,
+                    _HE_HOT
+                    | (cells_e >> 31).astype(np.int64) * _HE_NONTOK
+                    | eps_avail[f_tgt] * _HE_EPS
+                    | lc_avail[f_tgt].astype(np.int64) * _HE_LC
+                    | (np.maximum(f_hid, 0) << 5)
+                    | (eps_avail[e_of].astype(np.int64)[None, :] << 15),
+                    0,
+                )
+                entry16 = entry16 | fentry  # disjoint: fentry!=0 ⇒ entry16==0
+                self.hot_eps_full = np.where(has_e, e_of, 0).astype(np.int32)
+            else:
+                self.hot_eps_full = np.zeros(H, dtype=np.int32)
             full16 = np.zeros((self.A_pad, H), dtype=np.int64)
             full16[1 : A + 1, :] = entry16
             # (2H, A_pad): rows [0,H) = low byte, [H,2H) = high byte

@@ -51,13 +51,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .encode import META_A_MASK, META_EOT, META_FOUND, META_NONASCII, \
     META_RUN_MASK, META_RUN_SHIFT
-from .jax_engine import (HotSpec, I32, RING, _init_carry, _make_step,
-                         _tree_select_shared)
-
-TAG_HOT = 1 << 24
-TAG_COLD = 1 << 25
-TAG_MASK = TAG_HOT | TAG_COLD
-PAYLOAD_MASK = 0x7FF
+from .jax_engine import (HotSpec, I32, PAYLOAD_MASK, RING, TAG_COLD,
+                         TAG_EPSOF, TAG_HOT, TAG_MASK, _init_carry,
+                         _make_step, _tree_select_shared)
 
 # carry rows shipped through the kernel, in order
 ROWS = (
@@ -86,14 +82,26 @@ def _unpack_rows(rows, carry):
     return out
 
 
-def decode_tagged(t, hot_full_p2, cold_full_p2):
-    """Resolve tagged state registers to full state ids (XLA-side)."""
+def decode_tagged(t, hot_full_p2, cold_full_p2, eps_full_p2=None):
+    """Resolve tagged state registers to full state ids (XLA-side).
+
+    ``eps_full_p2`` resolves the lazy ``TAG_EPSOF|hot_id`` sentinel
+    written by fused boundary steps: the full id of that hot state's
+    ε-target.
+    """
     pay = t & PAYLOAD_MASK
     hot = (t & TAG_HOT) != 0
     cold = (t & TAG_COLD) != 0
     hp = _tree_select_shared(hot_full_p2, jnp.clip(pay, 0, hot_full_p2.shape[0] - 1))
     cp = _tree_select_shared(cold_full_p2, jnp.clip(pay, 0, cold_full_p2.shape[0] - 1))
-    return jnp.where(hot, hp, jnp.where(cold, cp, t))
+    out = jnp.where(hot, hp, jnp.where(cold, cp, t))
+    if eps_full_p2 is not None:
+        epsf = (t & TAG_EPSOF) != 0
+        ep = _tree_select_shared(
+            eps_full_p2, jnp.clip(pay, 0, eps_full_p2.shape[0] - 1)
+        )
+        out = jnp.where(epsf, ep, out)
+    return out
 
 
 def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=False):
@@ -142,7 +150,20 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=Fal
             t_next = jnp.where(hot_t, TAG_HOT | payload, TAG_COLD | payload)
             t_next_hid = jnp.where(hot_t, payload, -1)
             can = t0_hid >= 0
-            return can, valid, nontok, t_next, t_next_hid, eps_tgt, lc_tgt
+            # fused boundary entry: bit0=0 bit1=1; 10-bit payload =
+            # final target hot id, bit15 = ε-avail at the ε-target
+            pay10 = (entry >> 5) & 0x3FF
+            fus = dict(
+                have=~valid & hot_t & can,
+                nontok=nontok,
+                epst=eps_tgt,
+                lct=lc_tgt,
+                t=TAG_HOT | pay10,
+                hid=pay10,
+                avail_e=(entry & (1 << 15)) != 0,
+                bt=TAG_EPSOF | jnp.maximum(t0_hid, 0),
+            )
+            return can, valid, nontok, t_next, t_next_hid, eps_tgt, lc_tgt, fus
 
         def emit_fn(out, emit):
             ys_ref[pl.ds(out["steps"], 1), :] = emit.astype(I32)
@@ -301,7 +322,8 @@ def _run_machine_pallas(
 ):
     """Fused-kernel machine: K-step Pallas rounds + XLA service steps."""
     L, B = meta_T.shape
-    planes, hot_full_p2, cold_full_p2, hot_index, eps_avail, lc_avail = pallas_tables
+    (planes, hot_full_p2, cold_full_p2, hot_index, eps_avail, lc_avail,
+     eps_full_p2) = pallas_tables
     # The work budget is counted in *steps* (inner + service), not
     # rounds: every outer round advances the step counter by at least
     # one (a zero-inner-step round always runs exactly one service
@@ -323,7 +345,7 @@ def _run_machine_pallas(
     )
 
     def decode(t):
-        return decode_tagged(t, hot_full_p2, cold_full_p2)
+        return decode_tagged(t, hot_full_p2, cold_full_p2, eps_full_p2)
 
     def aux(carry):
         out = dict(carry)
@@ -443,6 +465,8 @@ class PallasSpec:
             p2 *= 2
         hf = np.zeros(p2, dtype=np.int32)
         hf[: spec.H] = spec.hot_full
+        ef = np.zeros(p2, dtype=np.int32)
+        ef[: spec.H] = spec.hot_eps_full
         self.tables = (
             jnp.asarray(spec.planes_kT),       # (2H, A_pad) int8
             jnp.asarray(hf),                    # hot_full, pow2
@@ -450,4 +474,5 @@ class PallasSpec:
             jnp.asarray(spec.hot_index),
             jnp.asarray(spec.eps_avail),
             jnp.asarray(spec.lc_avail),
+            jnp.asarray(ef),                    # ε-target full ids, pow2
         )

@@ -75,3 +75,58 @@ def test_pallas_segment_chaining(pallas_engine, mat_de):
     evs, exits = pallas_engine.events_batch([text], return_exits=True)
     assert len(evs[0]) > 0
     assert exits[0] != 0
+
+
+def test_pallas_fused_boundary_fuzz(pallas_engine, mat_de):
+    """Boundary-heavy fuzz through the fused-boundary fast path.
+
+    Word/space/punctuation sequences maximize fused token-bound steps
+    (the composed fail→ε-flush→consume entries); the mix also hits the
+    excluded corners (sentence chains, EOT, stale-ok identity) that
+    must stay on the slow path.
+    """
+    import random
+
+    from datok_tpu.runtime.jax_engine import decode_events_batch
+    from datok_tpu.runtime.oracle import transduce_events
+
+    assert pallas_engine.spec.fused_ok
+    rng = random.Random(7)
+    words = ["der", "Mann", "z.B.", "a", "ᛄ", "müde", "1.9.2018", "-", "x"]
+    seps = [" ", ". ", "! ", "? ", "\n", " \x04", ", ", ": "]
+    texts = []
+    for _ in range(40):
+        n = rng.randint(0, 14)
+        s = "".join(
+            rng.choice(words) + rng.choice(seps) for _ in range(n)
+        )
+        texts.append(s)
+    evs = pallas_engine.events_batch(texts)
+    for t, e in zip(texts, evs):
+        assert e == transduce_events(mat_de, t), repr(t[:60])
+
+
+def test_pallas_fused_checkpoint_resume(pallas_engine, mat_de):
+    """Fused steps write the lazy TAG_EPSOF checkpoint; a chained
+    resume from it must be exact (exit decode resolves the sentinel)."""
+    import numpy as np
+
+    from datok_tpu.runtime.oracle import transduce_events
+
+    doc = "Der alte Mann las am Tag die Zeitung im Zug. " * 8
+    cut = 120
+    meta, lengths, _ = pallas_engine.encoder.encode_batch([doc[:cut]])
+    ys, bad, n_steps, state = pallas_engine.run_raw(
+        meta, lengths, stops=np.array([True])
+    )
+    assert not bad[0]
+    ck_ctx, ck_b = int(state[0, 1]), int(state[0, 2])
+    assert ck_b > 0
+    # resume on host from the device checkpoint: must equal a full walk
+    from datok_tpu.runtime.jax_engine import decode_events_batch
+
+    head = decode_events_batch(ys, n_steps)[0]
+    while head and head[-1][0] == 2:
+        head.pop()
+    tail = transduce_events(mat_de, doc, entry_state=ck_ctx, start=ck_b)
+    assert head + tail == transduce_events(mat_de, doc)
