@@ -51,9 +51,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .encode import META_A_MASK, META_EOT, META_FOUND, META_NONASCII, \
     META_RUN_MASK, META_RUN_SHIFT
-from .jax_engine import (HotSpec, I32, PAYLOAD_MASK, RING, TAG_COLD,
+from .jax_engine import (HotSpec, I32, PAYLOAD_MASK, TAG_COLD,
                          TAG_EPSOF, TAG_HOT, TAG_MASK, _init_carry,
                          _make_step, _tree_select_shared)
+
+# Kernel meta ring rows.  Larger than the XLA machines' shared ring:
+# heterogeneous lanes legitimately drift apart in cursor position
+# (content-dependent speed), and a lane more than PRING chars ahead of
+# its block's slowest live lane meta-stalls.  Bounded by VMEM: the ring
+# block is double-buffered across grid blocks, so PRING=512 at BL=2048
+# blows the ~16 MB scoped limit; 256 rows (2 MB, 4 MB buffered) fit and
+# per-block windows absorb most of the spread.
+PRING = 256
 
 # carry rows shipped through the kernel, in order
 ROWS = (
@@ -111,19 +120,19 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=Fal
     root_t = TAG_HOT | hid1
 
     def kernel(w_ref, rows_ref, ring_ref, planes_ref, out_rows_ref, ys_ref, info_ref):
-        w = w_ref[0, 0]
+        w = w_ref[pl.program_id(0), 0]  # this block's ring window base
         ring = ring_ref[...]
         planes = planes_ref[...]
         iota_a = jax.lax.broadcasted_iota(I32, (A_pad, BL), 0)
         iota_h = jax.lax.broadcasted_iota(I32, (H, BL), 0)
-        iota_r = jax.lax.broadcasted_iota(I32, (RING, BL), 0)
+        iota_r = jax.lax.broadcasted_iota(I32, (PRING, BL), 0)
 
         ys_ref[...] = jnp.zeros((K, BL), I32)
 
         def fetch_meta(carry):
             off = carry["c"] - w
-            can = (off >= 0) & (off < RING)
-            offc = jnp.clip(off, 0, RING - 1)
+            can = (off >= 0) & (off < PRING)
+            offc = jnp.clip(off, 0, PRING - 1)
             v = jnp.sum(jnp.where(iota_r == offc, ring, 0), axis=0, keepdims=True)
             return v, can
 
@@ -211,12 +220,13 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=Fal
             def cond(carry):
                 live = live_of(carry)
                 n_live = jnp.sum(live.astype(I32))
-                # exit relative to live lanes (see jax_engine inner_cond:
-                # sparse batches must service promptly or stalled lanes
-                # idle a whole round per cold character)
-                ok_stalls = (carry["stalls"] * 8 <= BL) & (
-                    carry["stalls"] * 4 < n_live
-                )
+                # Exit relative to live lanes, and strictly ABOVE the
+                # outer loop's pooled-service threshold (live/8): if the
+                # kernel exited below it, the n_inner==0 backstop would
+                # force a service every round and defeat cold-lane
+                # pooling (see outer_body).  Sparse batches still exit
+                # promptly (threshold scales with live lanes).
+                ok_stalls = carry["stalls"] * 4 < n_live
                 return (carry["steps"] < K) & (n_live > 0) & ok_stalls
 
             carry = jax.lax.while_loop(cond, step_i32, carry)
@@ -251,9 +261,11 @@ def _kernel_call(spec, *, eps, unknown, identity, K, BL, B, early_exit, interpre
             ),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (B // BL, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+                ),
                 pl.BlockSpec((NC, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((RING, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((PRING, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
                     (2 * H, A_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
@@ -322,6 +334,8 @@ def _run_machine_pallas(
 ):
     """Fused-kernel machine: K-step Pallas rounds + XLA service steps."""
     L, B = meta_T.shape
+    if L < PRING:  # ring slices need PRING rows; padding is never read
+        meta_T = jnp.pad(meta_T, ((0, PRING - L), (0, 0)))
     (planes, hot_full_p2, cold_full_p2, hot_index, eps_avail, lc_avail,
      eps_full_p2) = pallas_tables
     # The work budget is counted in *steps* (inner + service), not
@@ -330,8 +344,11 @@ def _run_machine_pallas(
     # step), so the loop terminates, while cold-heavy few-lane batches
     # — where the in-kernel early exit ends a round after ~1 step per
     # cold character — still get their full step budget.  A rounds cap
-    # would starve them (each cold char costs a whole round).
-    max_steps_pad = max_steps + K + 8
+    # would starve them (each cold char costs a whole round).  The
+    # extra half budget covers cold-lane pooling (see outer_body): a
+    # pooled lane idles global steps between services, so its own
+    # completion needs slack beyond steps_factor × its length.
+    max_steps_pad = max_steps + max_steps // 2 + K + 8
 
     call = _kernel_call(
         spec, eps=eps, unknown=unknown, identity=identity, K=K, BL=BL,
@@ -390,14 +407,32 @@ def _run_machine_pallas(
         out["services"] = carry["services"] + 1
         return out
 
+    nb = B // BL
+
     def outer_body(carry):
         live = live_mask(carry)
         c_live = jnp.where(live, carry["c"], jnp.int32(1 << 28))
-        w = jnp.clip(jnp.min(c_live), 0, max(0, L - RING))
-        ring_T = jax.lax.dynamic_slice(meta_T, (w, 0), (RING, B))
+        # Per-BLOCK ring windows: each block's window follows its own
+        # slowest live lane.  A single global window pins every lane to
+        # the globally slowest one; with heterogeneous lanes the
+        # content-dependent speed spread exceeds the ring and most
+        # lanes meta-stall (measured: rounds ballooned 12 → 149 on the
+        # rotated-text benchmark).
+        w_blk = jnp.clip(
+            jnp.min(c_live.reshape(nb, BL), axis=1), 0, max(0, L - PRING)
+        )
+        ring_T = jnp.concatenate(
+            [
+                jax.lax.dynamic_slice(
+                    meta_T, (w_blk[i], i * BL), (PRING, BL)
+                )
+                for i in range(nb)
+            ],
+            axis=1,
+        )
         rows = _pack_rows(carry)
         out_rows, ys_chunk, info = call(
-            jnp.full((1, 1), w, I32), rows, ring_T, planes
+            w_blk.reshape(nb, 1).astype(I32), rows, ring_T, planes
         )
         out = _unpack_rows(out_rows, carry)
         n_inner = jnp.max(info[0])
@@ -410,8 +445,21 @@ def _run_machine_pallas(
         out["services"] = carry["services"]
         live2 = live_mask(out)
         cold_lane = live2 & ((out["hid"] < 0) | (out["t0_hid"] < 0))
+        # Pool cold lanes instead of servicing on first demand: a
+        # service costs serial gathers over ALL B lanes (~ms at B=32K),
+        # while a stalled lane idles in-kernel at zero marginal wall
+        # cost.  With heterogeneous lanes cold events de-synchronize,
+        # so demand-servicing fired every round and dominated the run
+        # (measured 102 services / 103 rounds, 4× slowdown).  Service
+        # when ≥1/8 of the *live* lanes are pooled (scales down as
+        # lanes finish, so tails drain), on heartbeat, or when nothing
+        # progressed.
+        n_live2 = jnp.sum(live2.astype(I32))
+        cold_cnt = jnp.sum(cold_lane.astype(I32))
         out["need_srv"] = jnp.any(live2) & (
-            jnp.any(cold_lane) | (out["since"] >= service_k) | (n_inner == 0)
+            (cold_cnt * 8 >= n_live2)
+            | (out["since"] >= service_k)
+            | (n_inner == 0)
         )
         return jax.lax.while_loop(service_cond, service_body, out)
 
