@@ -113,6 +113,57 @@ def decode_tagged(t, hot_full_p2, cold_full_p2, eps_full_p2=None):
     return out
 
 
+def decode_tagged_mm(t, dec_planes):
+    """Matmul-based tagged decode: one one-hot int8 matmul against the
+    byte planes of all three id tables (hot / cold / ε-target).
+
+    The tree-select decode dominated the XLA service step (profiled
+    2026-08-19: ~2.4 ms of each ~4.5 ms service at B=32K was decode
+    selects); a (B, P2)·(P2, 12) int8 one-hot matmul computes the same
+    exact integers in tens of μs.  Bytes are stored −128 in the planes
+    (int8 range) and restored after the dot; rows past a table's true
+    length are zero, matching the zero-padded tree-select tables.
+    """
+    pay = t & PAYLOAD_MASK
+    P2 = dec_planes.shape[0]
+    payc = jnp.clip(pay, 0, P2 - 1)
+    oh = (
+        payc[:, None] == jnp.arange(P2, dtype=I32)[None, :]
+    ).astype(jnp.int8)
+    by = (
+        jax.lax.dot_general(
+            oh, dec_planes,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=I32,
+        )
+        + 128
+    )  # (B, 12)
+
+    def comb(o):
+        return (
+            by[:, o]
+            | (by[:, o + 1] << 8)
+            | (by[:, o + 2] << 16)
+            | (by[:, o + 3] << 24)
+        )
+
+    hot = (t & TAG_HOT) != 0
+    cold = (t & TAG_COLD) != 0
+    epsf = (t & TAG_EPSOF) != 0
+    out = jnp.where(hot, comb(0), jnp.where(cold, comb(4), t))
+    return jnp.where(epsf, comb(8), out)
+
+
+def _id_byte_planes(vals: "np.ndarray", p2: int) -> "np.ndarray":
+    """(p2, 4) int8 little-endian byte planes of int32 ids, biased −128."""
+    out = np.zeros((p2, 4), dtype=np.int8)
+    v = np.asarray(vals, dtype=np.int64)
+    for i in range(4):
+        out[: len(v), i] = (((v >> (8 * i)) & 0xFF) - 128).astype(np.int8)
+    out[len(v):, :] = -128
+    return out
+
+
 def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=False):
     H = spec.H
     A_pad = spec.A_pad
@@ -123,16 +174,21 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=Fal
         w = w_ref[pl.program_id(0), 0]  # this block's ring window base
         ring = ring_ref[...]
         planes = planes_ref[...]
-        iota_a = jax.lax.broadcasted_iota(I32, (A_pad, BL), 0)
-        iota_h = jax.lax.broadcasted_iota(I32, (H, BL), 0)
-        iota_r = jax.lax.broadcasted_iota(I32, (PRING, BL), 0)
+        # int16 iotas: the i32 (H, BL)/(A_pad, BL)/(PRING, BL) iota
+        # materializations cost ~10 MB of kernel stack at BL=2048 and
+        # pushed the swapped-contraction kernel past the 16 MB scoped
+        # VMEM limit; all compared indices fit int16 (< 2048).
+        I16 = jnp.int16
+        iota_a = jax.lax.broadcasted_iota(I16, (A_pad, BL), 0)
+        iota_h = jax.lax.broadcasted_iota(I16, (H, BL), 0)
+        iota_r = jax.lax.broadcasted_iota(I16, (PRING, BL), 0)
 
         ys_ref[...] = jnp.zeros((K, BL), I32)
 
         def fetch_meta(carry):
             off = carry["c"] - w
             can = (off >= 0) & (off < PRING)
-            offc = jnp.clip(off, 0, PRING - 1)
+            offc = jnp.clip(off, 0, PRING - 1).astype(I16)
             v = jnp.sum(jnp.where(iota_r == offc, ring, 0), axis=0, keepdims=True)
             return v, can
 
@@ -140,15 +196,28 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=Fal
             return carry["eps_t"]
 
         def fetch_trans(carry, t0, t0_hid, a):
-            oh = ((iota_a == a) & (a > 0)).astype(jnp.int8)
-            rows = jax.lax.dot_general(
-                planes, oh,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+            # Contract over the HOT dimension and mask-reduce over the
+            # ALPHABET: the same 2H·A·BL MXU MACs either way, but the
+            # VPU select runs over A_pad=256 rows instead of 2H=1536 —
+            # the per-step select was the kernel's largest VPU cost
+            # (profiled 2026-08-19: kernel at 2.8 ns/lane-step, ~2× the
+            # core-loop floor).  One one-hot (iota_h) feeds both byte
+            # planes; a missing hot id (t0_hid < 0) zeroes the one-hot,
+            # matching the old select-miss value of 0 + 128.
+            oh_h = (iota_h == t0_hid.astype(I16)).astype(jnp.int8)
+            cols_lo = jax.lax.dot_general(
+                planes[:H], oh_h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=I32,
-            )  # (2H, BL): entry bytes - 128
-            msel = iota_h == t0_hid
-            lo = jnp.sum(jnp.where(msel, rows[:H], 0), axis=0, keepdims=True) + 128
-            hi = jnp.sum(jnp.where(msel, rows[H:], 0), axis=0, keepdims=True) + 128
+            )  # (A_pad, BL): entry low bytes - 128 for this lane's state
+            cols_hi = jax.lax.dot_general(
+                planes[H:], oh_h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=I32,
+            )
+            asel = (iota_a == a.astype(I16)) & (a > 0)
+            lo = jnp.sum(jnp.where(asel, cols_lo, 0), axis=0, keepdims=True) + 128
+            hi = jnp.sum(jnp.where(asel, cols_hi, 0), axis=0, keepdims=True) + 128
             entry = lo | (hi << 8)
             valid = (entry & 1) != 0
             hot_t = (entry & 2) != 0
@@ -178,7 +247,7 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=Fal
             ys_ref[pl.ds(out["steps"], 1), :] = emit.astype(I32)
             return out
 
-        step = _make_step(
+        step_kwargs = dict(
             eps=eps,
             unknown=unknown,
             identity=identity,
@@ -192,8 +261,11 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=Fal
             enable_skip=True,
             root_t=root_t,
             emit_fn=emit_fn,
-            track_counts=early_exit,
         )
+        step = _make_step(track_counts=False, **step_kwargs)
+        # the tracking variant pays vector→scalar reductions (stall /
+        # cold counts) — run it only on the last step of each chunk
+        step_track = _make_step(track_counts=True, **step_kwargs)
 
         rows_in = rows_ref[...]
         # static 2D slices (no 1D relayouts in Mosaic); bool registers
@@ -204,11 +276,11 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=Fal
         carry["stalls"] = jnp.int32(0)
         carry["cold"] = jnp.int32(0)
 
-        def step_i32(carry):
+        def step_i32(fn, carry):
             c2 = dict(carry)
             for k in BOOL_ROWS:
                 c2[k] = carry[k] != 0
-            out = step(c2)
+            out = fn(c2)
             for k in BOOL_ROWS:
                 out[k] = out[k].astype(I32)
             return out
@@ -217,6 +289,26 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=Fal
             return (carry["phase"] == 0) | (carry["pend"] != 0)
 
         if early_exit:
+            # Steps run in chunks of CH: only the chunk's last step
+            # tracks stall counts and only one exit check runs per
+            # chunk, cutting the per-step vector→scalar reductions
+            # (measured as real in-kernel cost) CH-fold.  Stalled and
+            # finished lanes re-run their read phase idempotently, so
+            # the ≤ CH-1 extra steps before an exit are harmless.
+            # Mosaic allocates kernel stack for the whole unrolled
+            # chunk without cross-step reuse, so chunking multiplies
+            # the step's live set: at BL=2048 even CH=2 blows the
+            # 16 MB scoped-VMEM limit (measured 19.3 MB; CH=4 20.4 MB).
+            # Chunk only for blocks small enough to fit.
+            CH = 2 if BL <= 1024 else 1
+            assert K % CH == 0
+
+            def chunk(carry):
+                c = carry
+                for _ in range(CH - 1):
+                    c = step_i32(step, c)
+                return step_i32(step_track, c)
+
             def cond(carry):
                 live = live_of(carry)
                 n_live = jnp.sum(live.astype(I32))
@@ -227,11 +319,13 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=Fal
                 # pooling (see outer_body).  Sparse batches still exit
                 # promptly (threshold scales with live lanes).
                 ok_stalls = carry["stalls"] * 4 < n_live
-                return (carry["steps"] < K) & (n_live > 0) & ok_stalls
+                return (carry["steps"] + CH <= K) & (n_live > 0) & ok_stalls
 
-            carry = jax.lax.while_loop(cond, step_i32, carry)
+            carry = jax.lax.while_loop(cond, chunk, carry)
         else:
-            carry = jax.lax.fori_loop(0, K, lambda i, c: step_i32(c), carry)
+            carry = jax.lax.fori_loop(
+                0, K, lambda i, c: step_i32(step, c), carry
+            )
 
         out_rows = jnp.concatenate(
             [carry[k].astype(I32) for k in ROWS], axis=0
@@ -337,7 +431,7 @@ def _run_machine_pallas(
     if L < PRING:  # ring slices need PRING rows; padding is never read
         meta_T = jnp.pad(meta_T, ((0, PRING - L), (0, 0)))
     (planes, hot_full_p2, cold_full_p2, hot_index, eps_avail, lc_avail,
-     eps_full_p2) = pallas_tables
+     eps_full_p2, dec_planes) = pallas_tables
     # The work budget is counted in *steps* (inner + service), not
     # rounds: every outer round advances the step counter by at least
     # one (a zero-inner-step round always runs exactly one service
@@ -362,7 +456,7 @@ def _run_machine_pallas(
     )
 
     def decode(t):
-        return decode_tagged(t, hot_full_p2, cold_full_p2, eps_full_p2)
+        return decode_tagged_mm(t, dec_planes)
 
     def aux(carry):
         out = dict(carry)
@@ -515,6 +609,17 @@ class PallasSpec:
         hf[: spec.H] = spec.hot_full
         ef = np.zeros(p2, dtype=np.int32)
         ef[: spec.H] = spec.hot_eps_full
+        # byte planes of all three id tables for the one-hot matmul
+        # decode (hot | cold | ε-target), padded to one shared pow2
+        P2 = max(p2, len(spec.cold_full_p2))
+        dec = np.concatenate(
+            [
+                _id_byte_planes(hf, P2),
+                _id_byte_planes(spec.cold_full_p2, P2),
+                _id_byte_planes(ef, P2),
+            ],
+            axis=1,
+        )  # (P2, 12) int8
         self.tables = (
             jnp.asarray(spec.planes_kT),       # (2H, A_pad) int8
             jnp.asarray(hf),                    # hot_full, pow2
@@ -523,4 +628,5 @@ class PallasSpec:
             jnp.asarray(spec.eps_avail),
             jnp.asarray(spec.lc_avail),
             jnp.asarray(ef),                    # ε-target full ids, pow2
+            jnp.asarray(dec),                   # (P2, 12) decode planes
         )
