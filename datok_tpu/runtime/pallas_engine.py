@@ -123,6 +123,12 @@ def decode_tagged_mm(t, dec_planes):
     exact integers in tens of μs.  Bytes are stored −128 in the planes
     (int8 range) and restored after the dot; rows past a table's true
     length are zero, matching the zero-padded tree-select tables.
+
+    One edge differs from :func:`decode_tagged`: payloads are clipped
+    to the SHARED P2 bound, so a cold payload beyond the cold table's
+    true length (impossible for packer-produced entries, which are
+    range-checked) decodes to 0 rather than clamping to the last cold
+    entry.
     """
     pay = t & PAYLOAD_MASK
     P2 = dec_planes.shape[0]
@@ -174,14 +180,16 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=Fal
         w = w_ref[pl.program_id(0), 0]  # this block's ring window base
         ring = ring_ref[...]
         planes = planes_ref[...]
-        # int16 iotas: the i32 (H, BL)/(A_pad, BL)/(PRING, BL) iota
-        # materializations cost ~10 MB of kernel stack at BL=2048 and
-        # pushed the swapped-contraction kernel past the 16 MB scoped
-        # VMEM limit; all compared indices fit int16 (< 2048).
-        I16 = jnp.int16
-        iota_a = jax.lax.broadcasted_iota(I16, (A_pad, BL), 0)
-        iota_h = jax.lax.broadcasted_iota(I16, (H, BL), 0)
-        iota_r = jax.lax.broadcasted_iota(I16, (PRING, BL), 0)
+        # i32 iotas: v5e Mosaic supports neither 16-bit `tpu.iota` nor
+        # 16-bit vector compares ("Target does not support this
+        # comparison"), so the comparisons below run in i32.  The
+        # (H, BL)/(A_pad, BL)/(PRING, BL) materializations cost real
+        # kernel stack (~10 MB at BL=2048, H=768) — VMEM pressure is
+        # managed by block size (BL) and hot-set size (H) instead.
+        I16 = I32
+        iota_a = jax.lax.broadcasted_iota(I32, (A_pad, BL), 0)
+        iota_h = jax.lax.broadcasted_iota(I32, (H, BL), 0)
+        iota_r = jax.lax.broadcasted_iota(I32, (PRING, BL), 0)
 
         ys_ref[...] = jnp.zeros((K, BL), I32)
 
@@ -300,8 +308,7 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=Fal
             # the step's live set: at BL=2048 even CH=2 blows the
             # 16 MB scoped-VMEM limit (measured 19.3 MB; CH=4 20.4 MB).
             # Chunk only for blocks small enough to fit.
-            CH = 2 if BL <= 1024 else 1
-            assert K % CH == 0
+            CH = 2 if (BL <= 1024 and K % 2 == 0) else 1
 
             def chunk(carry):
                 c = carry
@@ -369,6 +376,13 @@ def _kernel_call(spec, *, eps, unknown, identity, K, BL, B, early_exit, interpre
                 pl.BlockSpec((K, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
             ),
+            # The i32 iotas + per-step live set exceed the default
+            # 16 MB scoped-VMEM stack at BL=2048, H=768 (measured
+            # 17.7 MB); v5e has far more physical VMEM — raise the
+            # per-kernel cap instead of shrinking blocks.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
             interpret=interpret,
         )(w, rows, ring_T, planes)
 
@@ -430,8 +444,10 @@ def _run_machine_pallas(
     L, B = meta_T.shape
     if L < PRING:  # ring slices need PRING rows; padding is never read
         meta_T = jnp.pad(meta_T, ((0, PRING - L), (0, 0)))
-    (planes, hot_full_p2, cold_full_p2, hot_index, eps_avail, lc_avail,
-     eps_full_p2, dec_planes) = pallas_tables
+    # the three raw id tables are superseded here by dec_planes (matmul
+    # decode); they stay in the tuple for decode_tagged debug use
+    (planes, _hot_full_p2, _cold_full_p2, hot_index, eps_avail, lc_avail,
+     _eps_full_p2, dec_planes) = pallas_tables
     # The work budget is counted in *steps* (inner + service), not
     # rounds: every outer round advances the step counter by at least
     # one (a zero-inner-step round always runs exactly one service
