@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Sweep fused-kernel configs (CH, PRING, BL, K) on the real chip.
+
+One process (the dev tunnel is single-tenant); each config compiles
+fresh (~1-3 min) then times reps. Prints one JSON line per config.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import BENCH_TEXT  # noqa: E402
+
+B = int(os.environ.get("BENCH_LANES", "32768"))
+L = int(os.environ.get("BENCH_LEN", "1024"))
+REPS = int(os.environ.get("BENCH_REPS", "5"))
+
+CONFIGS = [
+    dict(name="base", kernel_bl=2048, kernel_k=128, kernel_ch=0),
+    dict(name="ch2", kernel_bl=2048, kernel_k=128, kernel_ch=2),
+    dict(name="ch4", kernel_bl=2048, kernel_k=128, kernel_ch=4),
+    dict(name="pring512", kernel_bl=2048, kernel_k=128, kernel_ch=0,
+         kernel_pring=512),
+    dict(name="bl4096", kernel_bl=4096, kernel_k=128, kernel_ch=0),
+    dict(name="k256", kernel_bl=2048, kernel_k=256, kernel_ch=0),
+]
+if os.environ.get("SWEEP_ONLY"):
+    names = set(os.environ["SWEEP_ONLY"].split(","))
+    CONFIGS = [c for c in CONFIGS if c["name"] in names]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import datok_tpu as dt
+    from datok_tpu.runtime.jax_engine import BatchEngine
+
+    tok = dt.load_matrix_file("/root/reference/testdata/tokenizer_de.matok")
+    doc = (BENCH_TEXT * (L // len(BENCH_TEXT) + 1))[: L - 2] + ".\x04"
+    texts = [doc] * B
+    nbytes = sum(len(t.encode()) for t in texts)
+
+    for cfg in CONFIGS:
+        name = cfg.pop("name")
+        eng = BatchEngine(tok, **cfg)
+        meta, lengths, _ = eng.encoder.encode_batch(texts)
+        meta_d = jax.block_until_ready(jnp.asarray(meta))
+        lengths_d = jax.block_until_ready(jnp.asarray(lengths))
+        t0 = time.time()
+        try:
+            ys, bad, steps, state = jax.block_until_ready(
+                eng.run_raw_device(meta_d, lengths_d)
+            )
+        except Exception as e:  # compile failures: report and continue
+            print(json.dumps({"config": name, "error": str(e)[:300]}),
+                  flush=True)
+            cfg["name"] = name
+            continue
+        compile_s = time.time() - t0
+        nbad = int(np.asarray(bad).sum())
+        times = []
+        for _ in range(REPS):
+            t0 = time.time()
+            jax.block_until_ready(eng.run_raw_device(meta_d, lengths_d))
+            times.append(time.time() - t0)
+        med = sorted(times)[len(times) // 2]
+        print(json.dumps({
+            "config": name, **cfg, "bad": nbad,
+            "rounds": int(eng.last_stats[0]), "services": int(eng.last_stats[1]),
+            "compile_s": round(compile_s, 1),
+            "mbps": round(nbytes / med / 1e6, 2),
+        }), flush=True)
+        cfg["name"] = name
+
+
+if __name__ == "__main__":
+    main()

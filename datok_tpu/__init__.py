@@ -37,7 +37,7 @@ from .runtime.writer import (
     NEWLINE_AFTER_EOT,
     SIMPLE,
 )
-from .runtime.oracle import transduce
+from .runtime.oracle import transduce, transduce_reader
 from .runtime.events import EV_TOKEN, EV_SENT, EV_TEXT, replay_events, format_events
 
 __version__ = "0.1.0"
@@ -61,6 +61,7 @@ __all__ = [
     "NEWLINE_AFTER_EOT",
     "SIMPLE",
     "transduce",
+    "transduce_reader",
     "EV_TOKEN",
     "EV_SENT",
     "EV_TEXT",

@@ -62,29 +62,33 @@ def make_flags(args) -> int:
 
 def cmd_tokenize(args) -> int:
     tok = load_tokenizer_file(args.tokenizer)
-    if args.input == "-":
-        data = sys.stdin.buffer.read()
-    else:
-        with open(args.input, "rb") as f:
-            data = f.read()
-    text = data.decode("utf-8", errors="replace")
-
     flags = make_flags(args)
     w = TokenWriter(flags, out=sys.stdout)
 
     if args.batch:
+        if args.input == "-":
+            data = sys.stdin.buffer.read()
+        else:
+            with open(args.input, "rb") as f:
+                data = f.read()
         from .runtime.pipeline import tokenize_stream
 
         tokenize_stream(
             tok,
-            text,
+            data.decode("utf-8", errors="replace"),
             w,
             accelerated=args.accelerated,
         )
     else:
-        from .runtime.oracle import transduce
+        # stream with bounded memory (the reference transduces an
+        # io.Reader through a ring buffer — cmd/datok.go:108-133)
+        from .runtime.oracle import transduce_reader
 
-        transduce(tok, text, w)
+        if args.input == "-":
+            transduce_reader(tok, sys.stdin.buffer, writer=w)
+        else:
+            with open(args.input, "rb") as f:
+                transduce_reader(tok, f, writer=w)
     w.flush()
     return 0
 

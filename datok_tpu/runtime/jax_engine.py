@@ -1260,6 +1260,8 @@ class BatchEngine:
         kernel_k: int = 128,
         kernel_bl: int = 2048,
         kernel_early_exit: bool = True,
+        kernel_ch: int = 0,
+        kernel_pring: int = 0,
         pallas_interpret: bool = False,
     ):
         self.tok = tok
@@ -1284,6 +1286,8 @@ class BatchEngine:
         self.kernel_k = kernel_k
         self.kernel_bl = kernel_bl
         self.kernel_early_exit = kernel_early_exit
+        self.kernel_ch = kernel_ch
+        self.kernel_pring = kernel_pring
         self.pallas_interpret = pallas_interpret
         self.accelerated = engine in ("hot", "pallas")
         if self.accelerated:
@@ -1442,6 +1446,10 @@ class BatchEngine:
             BL=BL,
             early_exit=self.kernel_early_exit,
             interpret=self.pallas_interpret,
+            **(
+                {"pring": self.kernel_pring} if self.kernel_pring else {}
+            ),
+            ch=self.kernel_ch,
         )
         if B_pad != B:
             ys = ys[:, :B]

@@ -354,6 +354,60 @@ def transduce_events_fast(
     )
 
 
+def transduce_reader(
+    tok, reader, writer: Optional[TokenWriter] = None, chunk_size: int = 1 << 16
+):
+    """Stream-transduce from a file-like object with bounded memory.
+
+    The reference transduces an ``io.Reader`` through a 1024-rune ring
+    buffer rewound at every token bound (matrix.go:348-371,608-627);
+    this is the host-side equivalent: each chunk is processed up to its
+    LAST buffer-rewind checkpoint — a point where every machine
+    register is reset, so resuming there is exact — and only the
+    un-checkpointed tail is carried into the next chunk.  Memory is
+    O(chunk + longest token), independent of stream length.
+
+    ``reader`` may be binary (bytes chunks; decoded incrementally as
+    UTF-8 with ``errors="replace"``, split multi-byte sequences safe)
+    or text mode.  With ``writer=None`` a ``SIMPLE`` writer is used and
+    the formatted string is returned, else the writer is returned —
+    mirroring :func:`transduce`.
+    """
+    import codecs
+
+    own = writer is None
+    w = TokenWriter(SIMPLE) if own else writer
+    dec = codecs.getincrementaldecoder("utf-8")(errors="replace")
+    ctx = 1
+    tail = ""
+    while True:
+        data = reader.read(chunk_size)
+        at_eof = not data
+        if isinstance(data, bytes):
+            new = dec.decode(data, final=at_eof)
+        else:
+            new = data or ""
+        if at_eof:
+            tail += new
+            break
+        if not new:  # pure UTF-8 continuation bytes
+            continue
+        text = tail + new
+        rewinds: list = []
+        events = transduce_events(
+            tok, text, entry_state=ctx, stop_at=len(text),
+            rewinds_box=rewinds,
+        )
+        pos, ck_ctx, n_final = rewinds[-1]
+        replay_events(events[:n_final], text, w)
+        tail = text[pos:]
+        ctx = ck_ctx
+    events = transduce_events(tok, tail, entry_state=ctx)
+    replay_events(events, tail, w)
+    w.flush()
+    return w.getvalue() if own else w
+
+
 def transduce(tok, text: str, writer: Optional[TokenWriter] = None):
     """Transduce ``text``; returns the output string (or the writer).
 

@@ -55,13 +55,13 @@ from .jax_engine import (HotSpec, I32, PAYLOAD_MASK, TAG_COLD,
                          TAG_EPSOF, TAG_HOT, TAG_MASK, _init_carry,
                          _make_step, _tree_select_shared)
 
-# Kernel meta ring rows.  Larger than the XLA machines' shared ring:
-# heterogeneous lanes legitimately drift apart in cursor position
+# Default kernel meta ring rows.  Larger than the XLA machines' shared
+# ring: heterogeneous lanes legitimately drift apart in cursor position
 # (content-dependent speed), and a lane more than PRING chars ahead of
-# its block's slowest live lane meta-stalls.  Bounded by VMEM: the ring
-# block is double-buffered across grid blocks, so PRING=512 at BL=2048
-# blows the ~16 MB scoped limit; 256 rows (2 MB, 4 MB buffered) fit and
-# per-block windows absorb most of the spread.
+# its block's slowest live lane meta-stalls.  The ring block is
+# double-buffered across grid blocks (2 MB, 4 MB buffered at 256 rows ×
+# BL=2048); per-block windows absorb most of the spread.  Overridable
+# per machine via the ``pring`` argument.
 PRING = 256
 
 # carry rows shipped through the kernel, in order
@@ -170,7 +170,8 @@ def _id_byte_planes(vals: "np.ndarray", p2: int) -> "np.ndarray":
     return out
 
 
-def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=False):
+def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
+                 early_exit=False, pring=PRING, ch=0):
     H = spec.H
     A_pad = spec.A_pad
     hid1 = spec.hid1
@@ -189,14 +190,14 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=Fal
         I16 = I32
         iota_a = jax.lax.broadcasted_iota(I32, (A_pad, BL), 0)
         iota_h = jax.lax.broadcasted_iota(I32, (H, BL), 0)
-        iota_r = jax.lax.broadcasted_iota(I32, (PRING, BL), 0)
+        iota_r = jax.lax.broadcasted_iota(I32, (pring, BL), 0)
 
         ys_ref[...] = jnp.zeros((K, BL), I32)
 
         def fetch_meta(carry):
             off = carry["c"] - w
-            can = (off >= 0) & (off < PRING)
-            offc = jnp.clip(off, 0, PRING - 1).astype(I16)
+            can = (off >= 0) & (off < pring)
+            offc = jnp.clip(off, 0, pring - 1).astype(I16)
             v = jnp.sum(jnp.where(iota_r == offc, ring, 0), axis=0, keepdims=True)
             return v, can
 
@@ -308,7 +309,7 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=Fal
             # the step's live set: at BL=2048 even CH=2 blows the
             # 16 MB scoped-VMEM limit (measured 19.3 MB; CH=4 20.4 MB).
             # Chunk only for blocks small enough to fit.
-            CH = 2 if (BL <= 1024 and K % 2 == 0) else 1
+            CH = ch if (ch > 0 and K % ch == 0) else (2 if (BL <= 1024 and K % 2 == 0) else 1)
 
             def chunk(carry):
                 c = carry
@@ -343,10 +344,11 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL, early_exit=Fal
     return kernel
 
 
-def _kernel_call(spec, *, eps, unknown, identity, K, BL, B, early_exit, interpret):
+def _kernel_call(spec, *, eps, unknown, identity, K, BL, B, early_exit,
+                 interpret, pring=PRING, ch=0):
     kernel = _make_kernel(
         spec, eps=eps, unknown=unknown, identity=identity, K=K, BL=BL,
-        early_exit=early_exit,
+        early_exit=early_exit, pring=pring, ch=ch,
     )
     H = spec.H
     A_pad = spec.A_pad
@@ -366,7 +368,7 @@ def _kernel_call(spec, *, eps, unknown, identity, K, BL, B, early_exit, interpre
                     (B // BL, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
                 ),
                 pl.BlockSpec((NC, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((PRING, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((pring, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
                     (2 * H, A_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
@@ -414,7 +416,7 @@ def _general_fetches_T(rep, tables, meta_T):
     jax.jit,
     static_argnames=(
         "eps", "unknown", "identity", "rep", "spec", "max_steps",
-        "service_k", "K", "BL", "early_exit", "interpret",
+        "service_k", "K", "BL", "early_exit", "interpret", "pring", "ch",
     ),
 )
 def _run_machine_pallas(
@@ -439,11 +441,13 @@ def _run_machine_pallas(
     BL=1024,
     early_exit=False,
     interpret=False,
+    pring=PRING,
+    ch=0,
 ):
     """Fused-kernel machine: K-step Pallas rounds + XLA service steps."""
     L, B = meta_T.shape
-    if L < PRING:  # ring slices need PRING rows; padding is never read
-        meta_T = jnp.pad(meta_T, ((0, PRING - L), (0, 0)))
+    if L < pring:  # ring slices need `pring` rows; padding is never read
+        meta_T = jnp.pad(meta_T, ((0, pring - L), (0, 0)))
     # the three raw id tables are superseded here by dec_planes (matmul
     # decode); they stay in the tuple for decode_tagged debug use
     (planes, _hot_full_p2, _cold_full_p2, hot_index, eps_avail, lc_avail,
@@ -462,7 +466,8 @@ def _run_machine_pallas(
 
     call = _kernel_call(
         spec, eps=eps, unknown=unknown, identity=identity, K=K, BL=BL,
-        B=B, early_exit=early_exit, interpret=interpret,
+        B=B, early_exit=early_exit, interpret=interpret, pring=pring,
+        ch=ch,
     )
 
     aux_map = (
@@ -529,12 +534,12 @@ def _run_machine_pallas(
         # lanes meta-stall (measured: rounds ballooned 12 → 149 on the
         # rotated-text benchmark).
         w_blk = jnp.clip(
-            jnp.min(c_live.reshape(nb, BL), axis=1), 0, max(0, L - PRING)
+            jnp.min(c_live.reshape(nb, BL), axis=1), 0, max(0, L - pring)
         )
         ring_T = jnp.concatenate(
             [
                 jax.lax.dynamic_slice(
-                    meta_T, (w_blk[i], i * BL), (PRING, BL)
+                    meta_T, (w_blk[i], i * BL), (pring, BL)
                 )
                 for i in range(nb)
             ],
