@@ -4,19 +4,22 @@ The reference scales by running one OS process per file (SURVEY.md
 §2.3 — no in-process parallelism at all).  The TPU-native design
 replaces that with SPMD over a ``jax.sharding.Mesh``:
 
-  * corpus lanes are **data-parallel** across devices (the ``data``
-    mesh axis) — each device transduces its shard of the segment batch;
-  * the transition table is **replicated** (12.6 MB for the DE matrix —
-    trivial HBM cost, no tensor parallelism needed, matching
-    BASELINE.json's design);
-  * per-shard token/sentence/text/byte counters reduce with ``psum``
-    over ICI — the only collective this workload needs (the model is
-    read-only, so there is no parameter synchronization at all).
+  * corpus lanes are **data-parallel** across devices (the mesh axes) —
+    each device transduces its shard of the segment batch;
+  * the transition table (and the fused kernel's packed hot tables) are
+    **replicated** (12.6 MB for the DE matrix — trivial HBM cost, no
+    tensor parallelism needed, matching BASELINE.json's design);
+  * per-shard token/sentence/text/char counters all-reduce with
+    ``psum`` over ICI — the only collective this workload needs (the
+    model is read-only, so there is no parameter synchronization).
 
-Device placement uses ``NamedSharding``; the jitted state machine is
-partitioned by GSPMD along the lane axis (every per-lane register is a
-``(B,)`` array, so the partition is trivial and communication-free
-until the final counter reduction).
+The device machine is the SAME one :class:`~datok_tpu.runtime
+.jax_engine.BatchEngine` runs on one chip — the fused Pallas kernel on
+TPU, the MXU hot machine elsewhere — wrapped in ``jax.shard_map`` so
+every shard runs its own inner/outer loops at local speed with no
+cross-shard synchronization until the final counter reduction.  (The
+round-1 version ran the serial-gather general machine under GSPMD; the
+shard_map design keeps multi-chip throughput at fused-kernel speed.)
 """
 
 from __future__ import annotations
@@ -30,120 +33,216 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..runtime.encode import SymbolEncoder
 from ..runtime.events import EV_SENT, EV_TEXT, EV_TOKEN
-from ..runtime.jax_engine import _run_machine, decode_events_batch, make_rep
+from ..runtime.jax_engine import BatchEngine, decode_events_batch
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "unknown", "identity", "rep", "max_steps"))
-def _run_with_stats(tables, meta, length, *, eps, unknown, identity, rep, max_steps):
-    ys, bad, steps, state = _run_machine(
-        tables, meta, length, jnp.ones(meta.shape[0], jnp.int32),
-        eps=eps, unknown=unknown, identity=identity,
-        rep=rep, max_steps=max_steps,
-    )
-    # Global corpus statistics — with sharded inputs these sums are
-    # all-reduced over ICI by GSPMD (the psum analog of SURVEY §5).
+def _counters(ys, length, state, axes):
+    """Shard-local corpus counters, all-reduced over the mesh axes."""
     kinds = ys & 3
-    tokens = jnp.sum(kinds == EV_TOKEN)
-    sents = jnp.sum(kinds == EV_SENT)
-    texts = jnp.sum(kinds == EV_TEXT)
-    chars = jnp.sum(length)
-    return ys, bad, steps, jnp.stack([tokens, sents, texts, chars]), state
+    local = jnp.stack(
+        [
+            jnp.sum(kinds == EV_TOKEN),
+            jnp.sum(kinds == EV_SENT),
+            jnp.sum(kinds == EV_TEXT),
+            jnp.sum(length),
+            jnp.sum(state[:, 4]),  # backtracks
+            jnp.sum(state[:, 5]),  # force emits
+        ]
+    )
+    return jax.lax.psum(local, axes)
 
 
-class ShardedEngine:
+class ShardedEngine(BatchEngine):
     """Data-parallel tokenization over a device mesh.
 
     Drop-in equivalent of :class:`BatchEngine` that shards the lane
-    dimension over ``mesh`` and replicates the transition table.
+    dimension over every axis of ``mesh`` and replicates the transition
+    tables.  All ``BatchEngine`` engine/kernel knobs apply per shard.
     """
 
-    def __init__(self, tok, mesh: Optional[Mesh] = None, steps_factor: float = 2.0):
+    def __init__(self, tok, mesh: Optional[Mesh] = None, **kwargs):
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("data",))
         self.mesh = mesh
-        self.tok = tok
-        self.rep = make_rep(tok)
-        self.encoder = SymbolEncoder(tok)
-        self.steps_factor = steps_factor
-        self.n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        self.axes = tuple(mesh.axis_names)
+        self.n_shards = int(np.prod([mesh.shape[a] for a in self.axes]))
+        super().__init__(tok, **kwargs)
+        self._repl = NamedSharding(mesh, P())
+        self._lane = NamedSharding(mesh, P(self.axes))
+        self._batch = NamedSharding(mesh, P(self.axes, None))
+        self.tables = tuple(jax.device_put(t, self._repl) for t in self.tables)
+        if self.engine == "pallas":
+            self.pallas_spec.tables = tuple(
+                jax.device_put(t, self._repl) for t in self.pallas_spec.tables
+            )
+        if self.accelerated:
+            self.hot_tables = tuple(
+                jax.device_put(t, self._repl) for t in self.hot_tables
+            )
 
-        repl = NamedSharding(mesh, P())
-        self.tables = tuple(jax.device_put(t, repl) for t in self.rep.tables)
-        self.lane_sharding = NamedSharding(mesh, P("data"))
-        self.batch_sharding = NamedSharding(mesh, P("data", None))
+    # -- lane padding ------------------------------------------------
+
+    def _lane_quantum(self) -> int:
+        q = self.n_shards
+        if self.engine == "pallas":
+            q *= self.kernel_bl
+        return q
 
     def pad_batch(self, meta: np.ndarray, lengths: np.ndarray):
-        """Pad the lane count to a multiple of the shard count."""
+        """Pad the lane count to a multiple of the shard quantum."""
         B = meta.shape[0]
-        rem = (-B) % self.n_shards
+        rem = (-B) % self._lane_quantum()
         if rem:
             meta = np.pad(meta, ((0, rem), (0, 0)))
-            lengths = np.pad(lengths, (0, rem))
+            lengths = np.pad(np.asarray(lengths, np.int32), (0, rem))
         return meta, lengths, B
 
-    def run_raw(self, meta: np.ndarray, lengths: np.ndarray):
-        meta, lengths, B = self.pad_batch(meta, lengths)
-        L = meta.shape[1]
-        max_steps = int(self.steps_factor * L) + 64
-        meta_d = jax.device_put(jnp.asarray(meta), self.batch_sharding)
-        len_d = jax.device_put(jnp.asarray(lengths), self.lane_sharding)
-        ys, bad, steps, stats, state = _run_with_stats(
-            self.tables, meta_d, len_d,
-            eps=self.rep.eps, unknown=self.rep.unknown,
-            identity=self.rep.identity, rep=self.rep,
-            max_steps=max_steps,
-        )
-        self._last_state = np.asarray(state)[:B]
-        return (
-            np.asarray(ys)[:, :B],
-            np.asarray(bad)[:B],
-            int(steps),
-            np.asarray(stats),
-        )
+    # -- sharded machine ---------------------------------------------
 
-    def events_batch(self, texts: Sequence[str]):
-        from ..runtime.oracle import transduce_events_fast
+    @functools.cached_property
+    def _sharded_call(self):
+        """shard_map-wrapped device machine (built per engine type)."""
+        axes = self.axes
+        lane = P(axes)
+        row = P(None, axes)  # (steps, B) event buffer
+        col = P(axes, None)  # (B, L) meta / (B, 6) state
 
-        if not texts:
-            return []
-        meta, lengths, _ = self.encoder.encode_batch(texts)
-        ys, bad, n_steps, _stats = self.run_raw(meta, lengths)
-        decoded = decode_events_batch(ys, n_steps)
-        out = []
-        for i, text in enumerate(texts):
-            if bad[i]:
-                out.append(transduce_events_fast(self.tok, text))
+        def local(meta_or_T, length, ctx, hid, epst, lc, stop, *, max_steps):
+            if self.engine == "pallas":
+                from ..runtime.pallas_engine import _run_machine_pallas
+
+                ys, bad, steps, state, _st = _run_machine_pallas(
+                    self.tables, self.pallas_spec.tables, meta_or_T,
+                    length, ctx, hid, epst, lc, stop,
+                    eps=self.rep.eps, unknown=self.rep.unknown,
+                    identity=self.rep.identity, rep=self.rep,
+                    spec=self.spec, max_steps=max_steps,
+                    service_k=self.service_k, K=self.kernel_k,
+                    BL=self.kernel_bl, early_exit=self.kernel_early_exit,
+                    interpret=self.pallas_interpret, ch=self.kernel_ch,
+                    **({"pring": self.kernel_pring} if self.kernel_pring else {}),
+                )
+            elif self.accelerated:
+                from ..runtime.jax_engine import _run_machine_hot
+
+                ys, bad, steps, state = _run_machine_hot(
+                    self.tables, self.hot_tables, meta_or_T, length, ctx,
+                    hid, epst, lc, stop,
+                    eps=self.rep.eps, unknown=self.rep.unknown,
+                    identity=self.rep.identity, rep=self.rep,
+                    spec=self.spec, max_steps=max_steps,
+                    service_k=self.service_k,
+                )
             else:
-                out.append(decoded[i])
-        return out
+                from ..runtime.jax_engine import _run_machine
 
-    def tokenize_batch(self, texts: Sequence[str], flags: Optional[int] = None) -> List[str]:
-        from ..runtime.events import format_events
-        from ..runtime.writer import SIMPLE
+                ys, bad, steps, state = _run_machine(
+                    self.tables, meta_or_T, length, ctx, stop,
+                    eps=self.rep.eps, unknown=self.rep.unknown,
+                    identity=self.rep.identity, rep=self.rep,
+                    max_steps=max_steps,
+                )
+            stats = _counters(ys, length, state, axes)
+            # per-shard step counts differ; ship one per shard
+            return ys, bad, steps[None], state, stats
 
-        fl = SIMPLE if flags is None else flags
-        return [
-            format_events(evs, text, fl)
-            for text, evs in zip(texts, self.events_batch(texts))
-        ]
+        meta_spec = row if self.engine == "pallas" else col
+
+        @functools.partial(jax.jit, static_argnames=("max_steps",))
+        def call(meta_or_T, length, ctx, hid, epst, lc, stop, *, max_steps):
+            fn = jax.shard_map(
+                functools.partial(local, max_steps=max_steps),
+                mesh=self.mesh,
+                in_specs=(meta_spec, lane, lane, lane, lane, lane, lane),
+                out_specs=(row, lane, P(axes), col, P()),
+                check_vma=False,
+            )
+            return fn(meta_or_T, length, ctx, hid, epst, lc, stop)
+
+        return call
+
+    def run_raw_device(self, meta, lengths, entries=None, stops=None):
+        """Run the sharded device machine; returns device arrays.
+
+        Same contract as :meth:`BatchEngine.run_raw_device` plus a
+        ``stats`` attribute (``last_counters``) of globally-reduced
+        corpus counters.
+        """
+        meta = np.asarray(meta)
+        B0 = meta.shape[0]
+        meta, lengths, _ = self.pad_batch(meta, np.asarray(lengths, np.int32))
+        B, L = meta.shape
+        from ..runtime.jax_engine import RING
+
+        if self.accelerated and L < RING:
+            meta = np.pad(meta, ((0, 0), (0, RING - L)))
+            L = RING
+        if entries is None:
+            entries = np.ones(B, dtype=np.int32)
+        else:
+            entries = np.pad(
+                np.asarray(entries, np.int32), (0, B - B0), constant_values=1
+            )
+        t_part = entries & 0x0FFFFFFF
+        if stops is None:
+            stops_a = np.zeros(B, dtype=bool)
+        else:
+            stops_a = np.pad(np.asarray(stops, bool), (0, B - B0))
+        if self.accelerated:
+            hid = self.spec.hot_index[
+                np.clip(t_part, 0, len(self.spec.hot_index) - 1)
+            ].astype(np.int32)
+            epst = self.spec.eps_avail[
+                np.clip(t_part, 0, len(self.spec.eps_avail) - 1)
+            ].astype(bool)
+            lc = self.spec.lc_avail[
+                np.clip(t_part, 0, len(self.spec.lc_avail) - 1)
+            ].astype(bool)
+        else:
+            hid = np.full(B, -1, np.int32)
+            epst = np.zeros(B, bool)
+            lc = np.zeros(B, bool)
+
+        meta_in = meta.T if self.engine == "pallas" else meta
+        meta_d = jax.device_put(
+            jnp.asarray(np.ascontiguousarray(meta_in)),
+            NamedSharding(self.mesh, P(None, self.axes))
+            if self.engine == "pallas"
+            else self._batch,
+        )
+        put = lambda x: jax.device_put(jnp.asarray(x), self._lane)
+        ys, bad, steps, state, stats = self._sharded_call(
+            meta_d, put(lengths), put(entries), put(hid), put(epst),
+            put(lc), put(stops_a), max_steps=self.max_steps_for(L),
+        )
+        self.last_counters = stats
+        steps_g = jnp.max(steps)
+        return (
+            ys[:, :B0] if B0 != B else ys,
+            bad[:B0],
+            steps_g,
+            state[:B0],
+        )
+
+    # -- host-facing surfaces (inherited: run_raw, events_batch,
+    #    tokenize_batch — they call run_raw_device) -------------------
 
     def corpus_stats(self, texts: Sequence[str]) -> dict:
         """Tokenize a corpus and return globally-reduced counters."""
         meta, lengths, _ = self.encoder.encode_batch(texts)
-        _ys, bad, _n, stats = self.run_raw(meta, lengths)
-        state = self._last_state
+        _ys, bad, _n, _state = self.run_raw(meta, lengths)
+        stats = np.asarray(self.last_counters)
         # Padding lanes are empty texts and emit one sentence-end and
         # one text-end each; discount them from the global counters.
-        pad = (-len(texts)) % self.n_shards
+        pad = (-len(texts)) % self._lane_quantum()
         return {
             "tokens": int(stats[0]),
             "sentences": int(stats[1]) - pad,
             "texts": int(stats[2]) - pad,
             "chars": int(stats[3]),
-            "backtracks": int(state[:, 4].sum()),
-            "force_emits": int(state[:, 5].sum()),
+            "backtracks": int(stats[4]),
+            "force_emits": int(stats[5]),
             "fallback_lanes": int(bad.sum()),
             "shards": self.n_shards,
         }

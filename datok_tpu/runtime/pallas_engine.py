@@ -170,6 +170,29 @@ def _id_byte_planes(vals: "np.ndarray", p2: int) -> "np.ndarray":
     return out
 
 
+def _tree_gather_rows(xs, idx):
+    """``out[0, l] = x[idx[0, l], l]`` for each ``x`` in ``xs``.
+
+    Row-oriented log2 select tree (the (1, BL)-row analog of
+    :func:`jax_engine._tree_select`): a mask-reduce over n rows costs
+    ~3n row-ops (compare + select + add-reduce), the tree costs n
+    selects plus log2(n) compares — and the per-level compare masks are
+    shared across all arrays in ``xs``.  Replacing the kernel's ring
+    and column mask-reduces with trees cut the fused kernel's VPU cost
+    measurably (see BENCH_LOG.md 2026-08-19).  ``x``: (n, BL) with n a
+    power of two; ``idx``: (1, BL) int32 already clipped to [0, n).
+    """
+    n = xs[0].shape[0]
+    assert (n & (n - 1)) == 0, "tree gather needs a power-of-two height"
+    xs = list(xs)
+    k = n // 2
+    while k >= 1:
+        bit = (idx & k) != 0  # (1, BL), broadcast over the halved rows
+        xs = [jnp.where(bit, x[k : 2 * k], x[:k]) for x in xs]
+        k //= 2
+    return xs  # each (1, BL)
+
+
 def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
                  early_exit=False, pring=PRING, ch=0):
     H = spec.H
@@ -181,24 +204,21 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
         w = w_ref[pl.program_id(0), 0]  # this block's ring window base
         ring = ring_ref[...]
         planes = planes_ref[...]
-        # i32 iotas: v5e Mosaic supports neither 16-bit `tpu.iota` nor
+        # i32 iota: v5e Mosaic supports neither 16-bit `tpu.iota` nor
         # 16-bit vector compares ("Target does not support this
         # comparison"), so the comparisons below run in i32.  The
-        # (H, BL)/(A_pad, BL)/(PRING, BL) materializations cost real
-        # kernel stack (~10 MB at BL=2048, H=768) — VMEM pressure is
-        # managed by block size (BL) and hot-set size (H) instead.
+        # (H, BL) materialization costs real kernel stack — VMEM
+        # pressure is managed by block size (BL) and hot-set size (H).
         I16 = I32
-        iota_a = jax.lax.broadcasted_iota(I32, (A_pad, BL), 0)
         iota_h = jax.lax.broadcasted_iota(I32, (H, BL), 0)
-        iota_r = jax.lax.broadcasted_iota(I32, (pring, BL), 0)
 
         ys_ref[...] = jnp.zeros((K, BL), I32)
 
         def fetch_meta(carry):
             off = carry["c"] - w
             can = (off >= 0) & (off < pring)
-            offc = jnp.clip(off, 0, pring - 1).astype(I16)
-            v = jnp.sum(jnp.where(iota_r == offc, ring, 0), axis=0, keepdims=True)
+            offc = jnp.clip(off, 0, pring - 1)
+            (v,) = _tree_gather_rows((ring,), offc)
             return v, can
 
         def probe_fn(carry):
@@ -224,10 +244,12 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=I32,
             )
-            asel = (iota_a == a.astype(I16)) & (a > 0)
-            lo = jnp.sum(jnp.where(asel, cols_lo, 0), axis=0, keepdims=True) + 128
-            hi = jnp.sum(jnp.where(asel, cols_hi, 0), axis=0, keepdims=True) + 128
-            entry = lo | (hi << 8)
+            ac = jnp.clip(a, 0, A_pad - 1)
+            lo, hi = _tree_gather_rows((cols_lo, cols_hi), ac)
+            # a == 0 (no symbol) must read as an all-flags-clear entry;
+            # the old mask-reduce yielded 128|128<<8 there, whose five
+            # consumed flag bits are equally zero
+            entry = jnp.where(a > 0, (lo + 128) | ((hi + 128) << 8), 0)
             valid = (entry & 1) != 0
             hot_t = (entry & 2) != 0
             nontok = (entry & 4) != 0
