@@ -31,7 +31,7 @@ static const uint32_t META_FOUND = 1u << 16;
 static const uint32_t META_NONASCII = 1u << 17;
 static const uint32_t META_EOT = 1u << 18;
 static const int META_RUN_SHIFT = 19;
-static const uint32_t META_RUN_MASK = 0xFF;
+static const uint32_t META_RUN_MASK = 0x1F;  // bits 24..30 = class id (encode.py)
 
 // Decode UTF-8 `data[0:n]`; write codepoints to cps (capacity n) and
 // packed meta to metas.  `ascii_tab` has 256 entries; `keys`/`vals`

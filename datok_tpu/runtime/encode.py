@@ -24,11 +24,18 @@ META_A_MASK = 0xFFFF
 META_FOUND = 1 << 16
 META_NONASCII = 1 << 17
 META_EOT = 1 << 18
-# bits 19..26: length (capped 255) of the ASCII-lowercase run starting
+# bits 19..23: length (capped 31) of the ASCII-lowercase run starting
 # at this position — lets the hot machine consume whole word interiors
 # in one step for states that self-loop on every lowercase letter
 META_RUN_SHIFT = 19
-META_RUN_MASK = 0xFF
+META_RUN_MASK = 0x1F
+# bits 24..30: symbol CLASS id — symbols whose packed hot-subtable
+# columns are bit-identical share a class (HotSpec.cls_tab), so the
+# fused kernel matmuls against one column per class (half the MXU work
+# and half the column-select tree on the DE model).  Zero when the
+# encoder has no class table; only the Pallas kernel reads it.
+META_CLS_SHIFT = 24
+META_CLS_MASK = 0x7F
 
 
 def text_to_codepoints(text: str) -> np.ndarray:
@@ -43,11 +50,17 @@ def text_to_codepoints(text: str) -> np.ndarray:
 class SymbolEncoder:
     """Precomputes per-position symbol metadata for a tokenizer."""
 
-    def __init__(self, tok, lc_mask=None) -> None:
+    def __init__(self, tok, lc_mask=None, cls_tab=None) -> None:
         """``lc_mask``: optional (128,) bool — the skip-class letters
         used for run marking (default ASCII [a-z]); must match the
-        engine's hot-spec class for the run-skip path to be valid."""
+        engine's hot-spec class for the run-skip path to be valid.
+        ``cls_tab``: optional (A_pad,) int32 symbol→class map (values
+        ≤ META_CLS_MASK) stamped into bits 24..30 of every meta word;
+        must match the engine's hot-spec classes."""
         self.eot = EOT
+        self.cls_tab = None if cls_tab is None else np.asarray(
+            cls_tab, dtype=np.int32
+        )
         if lc_mask is None:
             lc_mask = np.zeros(128, dtype=bool)
             lc_mask[ord("a") : ord("z") + 1] = True
@@ -74,6 +87,11 @@ class SymbolEncoder:
             a_non = np.full(cp.shape, self.fallback, dtype=np.int32)
         a = np.where(is_ascii, a_ascii, a_non).astype(np.int32)
         meta = a & META_A_MASK
+        if self.cls_tab is not None:
+            meta = meta | (
+                self.cls_tab[np.clip(a, 0, len(self.cls_tab) - 1)]
+                << META_CLS_SHIFT
+            )
         meta = meta | np.where(~is_ascii & found, META_FOUND, 0)
         meta = meta | np.where(~is_ascii, META_NONASCII, 0)
         meta = meta | np.where(cp == self.eot, META_EOT, 0)

@@ -63,8 +63,9 @@ import jax
 import jax.numpy as jnp
 
 from ..fsa.io import FIRSTBIT, RESTBIT
-from .encode import (META_A_MASK, META_EOT, META_FOUND, META_NONASCII,
-                     META_RUN_MASK, META_RUN_SHIFT, SymbolEncoder)
+from .encode import (META_A_MASK, META_CLS_MASK, META_CLS_SHIFT, META_EOT,
+                     META_FOUND, META_NONASCII, META_RUN_MASK,
+                     META_RUN_SHIFT, SymbolEncoder)
 from .events import EV_SENT, EV_TEXT, EV_TOKEN
 
 I32 = jnp.int32
@@ -242,12 +243,14 @@ def _make_step(
     root_t=1,
     emit_fn=None,
     track_counts=True,
+    unknown_cls=0,
+    eps_cls=0,
 ):
     """Build one masked step of the reference loop.
 
     ``fetch_meta(carry) -> (meta int32 (B,), can (B,) bool)``
     ``probe_fn(carry) -> (B,) bool`` — ε availability at carry["t"]
-    ``fetch_trans(carry, t0, t0_hid, a) ->
+    ``fetch_trans(carry, t0, t0_hid, a, a_cls) ->
         (can, valid, nontok, t_next, t_next_hid, eps_tgt)``
     ``aux_update(carry) -> carry`` — refresh hot-id/ε registers (service)
     ``eps1``/``hid1`` — ε-availability and hot id of the root state.
@@ -255,6 +258,10 @@ def _make_step(
     Pallas machine uses a tagged hot-id encoding, see pallas_engine).
     ``emit_fn(carry, emit) -> carry`` — event sink; the default writes
     row ``carry["steps"]`` of the carried ``ys`` buffer.
+    ``unknown_cls``/``eps_cls`` — symbol-class ids of the unknown and ε
+    symbols (HotSpec.cls_tab); the ``a_cls`` register shadows ``a``
+    class-wise so the fused kernel can fetch by class (see encode.py
+    META_CLS_*).  Machines without class compression leave them 0.
     """
 
     def step(carry):
@@ -298,16 +305,18 @@ def _make_step(
         # ---- newchar: fetch symbol metadata -----------------------------
         meta_v, can_meta = fetch_meta(carry)
         a_new = meta_v & META_A_MASK
+        cls_new = (meta_v >> META_CLS_SHIFT) & META_CLS_MASK
         found_new = (meta_v & META_FOUND) != 0
         nonascii_new = (meta_v & META_NONASCII) != 0
         eot_new = (meta_v & META_EOT) != 0
 
         # tentative read-phase registers feed the transition fetch
         a_t = jnp.where(m_read0, a_new, a)
+        acls_t = jnp.where(m_read0, cls_new, carry["a_cls"])
         t0_t = jnp.where(m_read0, t, t0)
         t0_hid_t = jnp.where(m_read0, hid, t0_hid)
 
-        _ft_res = fetch_trans(carry, t0_t, t0_hid_t, a_t)
+        _ft_res = fetch_trans(carry, t0_t, t0_hid_t, a_t, acls_t)
         can_tr, valid, nontok, t_succ, t_succ_hid, eps_tgt, lc_tgt = _ft_res[:7]
         # optional 8th element: fused-boundary entry fields (see the
         # m_bf path below; only the Pallas kernel fetch provides it)
@@ -341,6 +350,7 @@ def _make_step(
         # stale-ok: only the non-ASCII path reassigns ok (matrix.go:426-434)
         ok = _bsel(m_read, _bsel(nonascii_new, found_new, ok), ok)
         a = jnp.where(m_read, a_new, a)
+        a_cls = jnp.where(m_read, cls_new, carry["a_cls"])
         eot = _bsel(m_read, eot_new, eot)
         t0 = jnp.where(m_read, t, t0)
         t0_hid = jnp.where(m_read, hid, t0_hid)
@@ -456,6 +466,9 @@ def _make_step(
         t0_new = jnp.where(f2 | ebt, bt_state, jnp.where(echase, t, t0))
         t0_hid_new = jnp.where(f2 | ebt, bt_hid, jnp.where(echase, hid, t0_hid))
         a_new2 = jnp.where(f1, unknown, jnp.where(f2 | f3 | echase | ebt, eps, a))
+        acls_new2 = jnp.where(
+            f1, unknown_cls, jnp.where(f2 | f3 | echase | ebt, eps_cls, a_cls)
+        )
         c_new = jnp.where(
             m_skip,
             c + rl,
@@ -527,6 +540,7 @@ def _make_step(
             t=t_new,
             t0=t0_new,
             a=a_new2,
+            a_cls=acls_new2,
             ok=ok,
             eot=eot_new2,
             newchar=newchar_new,
@@ -577,7 +591,7 @@ def _general_fetches(rep, tables, meta):
     def probe_fn(carry):
         return rep.eps_avail(tables, carry["t"])
 
-    def fetch_trans(carry, t0, t0_hid, a):
+    def fetch_trans(carry, t0, t0_hid, a, a_cls):
         valid, nontok, t_next = rep.transition(tables, t0, a)
         can = jnp.ones_like(valid)
         false = jnp.zeros_like(valid)
@@ -609,6 +623,7 @@ def _init_carry(B, max_steps, length, eps1, hid1, ctx_init=None, hid_init=None,
         "t": t_init,
         "t0": t_init,
         "a": zeros,
+        "a_cls": zeros,
         "ok": ok_init,
         "eot": fb,
         "newchar": jnp.ones(B, bool),
@@ -873,6 +888,31 @@ class HotSpec:
                 np.concatenate([full16 & 0xFF, (full16 >> 8) & 0xFF], axis=1).T
                 - 128
             ).astype(np.int8)
+            # Symbol-class compression: the per-step matmul cost is
+            # 2H × width × BL MACs, and many symbols have IDENTICAL
+            # packed columns over the hot subtable (measured DE model:
+            # 107 distinct of 256 padded — letters inside words, digit
+            # variants, punctuation families collapse).  The kernel
+            # matmuls against one column per *class* and gathers by the
+            # class id the encoder stamps into meta bits 24..30
+            # (encode.py META_CLS_*, carried step-to-step in the
+            # ``a_cls`` register); the entry integers are exactly equal
+            # by construction.  Class ids must fit 7 bits, so the
+            # compressed width is the 128-lane tile exactly.
+            uq, inv = np.unique(full16, axis=0, return_inverse=True)
+            if len(uq) <= 128 and self.A_pad > 128:
+                self.C_pad = 128
+                self.cls_tab = inv.astype(np.int32)
+                fc = np.zeros((self.C_pad, H), dtype=np.int64)
+                fc[: len(uq)] = uq
+                self.planes_cls_kT = (
+                    np.concatenate([fc & 0xFF, (fc >> 8) & 0xFF], axis=1).T
+                    - 128
+                ).astype(np.int8)
+            else:  # no compression win; kernel gathers by raw symbol
+                self.C_pad = self.A_pad
+                self.cls_tab = None
+                self.planes_cls_kT = self.planes_kT
             cp2 = 1
             while cp2 < max(2, self.n_cold):
                 cp2 *= 2
@@ -915,7 +955,7 @@ def _hot_fetches(spec: HotSpec, hot_tables):
     def probe_fn(carry):
         return carry["eps_t"]
 
-    def fetch_trans(carry, t0, t0_hid, a):
+    def fetch_trans(carry, t0, t0_hid, a, a_cls):
         oh = ((a[:, None] == iota_A[None, :]) & (a > 0)[:, None]).astype(jnp.bfloat16)
         rows = jnp.dot(oh, planes, preferred_element_type=jnp.float32)  # (B, 3H)
         # rows is loop-variant (fresh matmul output), so this mask-reduce
@@ -1302,8 +1342,13 @@ class BatchEngine:
 
                 self.pallas_spec = PallasSpec(self.spec)
             self.hot_tables = self.spec.device_tables()
-            # run marking must use the spec's adaptive skip class
-            self.encoder = SymbolEncoder(tok, lc_mask=self.spec.lc_mask)
+            # run marking must use the spec's adaptive skip class; the
+            # symbol-class bits feed the fused kernel's compressed fetch
+            self.encoder = SymbolEncoder(
+                tok,
+                lc_mask=self.spec.lc_mask,
+                cls_tab=getattr(self.spec, "cls_tab", None),
+            )
         else:
             self.encoder = SymbolEncoder(tok)
         self.engine = engine

@@ -66,8 +66,8 @@ PRING = 256
 
 # carry rows shipped through the kernel, in order
 ROWS = (
-    "t", "t0", "a", "ok", "eot", "newchar", "eps_s", "eps_o", "c", "b",
-    "ft", "sflag", "tflag", "phase", "pend", "pend2", "ckpt",
+    "t", "t0", "a", "a_cls", "ok", "eot", "newchar", "eps_s", "eps_o",
+    "c", "b", "ft", "sflag", "tflag", "phase", "pend", "pend2", "ckpt",
     "n_backtrack", "n_force", "hid", "t0_hid", "eps_s_hid", "eps_t",
     "lc_t", "length", "stop",
 )
@@ -199,6 +199,13 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
     A_pad = spec.A_pad
     hid1 = spec.hid1
     root_t = TAG_HOT | hid1
+    # symbol-class compression (see HotSpec): the planes hold one
+    # column per CLASS of identical symbol columns; fetches gather by
+    # the meta-borne ``a_cls`` register instead of the raw symbol
+    use_cls = spec.cls_tab is not None
+    W = spec.C_pad if use_cls else A_pad
+    unknown_cls = int(spec.cls_tab[unknown]) if use_cls else 0
+    eps_cls = int(spec.cls_tab[eps]) if use_cls else 0
 
     def kernel(w_ref, rows_ref, ring_ref, planes_ref, out_rows_ref, ys_ref, info_ref):
         w = w_ref[pl.program_id(0), 0]  # this block's ring window base
@@ -224,27 +231,29 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
         def probe_fn(carry):
             return carry["eps_t"]
 
-        def fetch_trans(carry, t0, t0_hid, a):
+        def fetch_trans(carry, t0, t0_hid, a, a_cls):
             # Contract over the HOT dimension and mask-reduce over the
-            # ALPHABET: the same 2H·A·BL MXU MACs either way, but the
-            # VPU select runs over A_pad=256 rows instead of 2H=1536 —
+            # ALPHABET: the same 2H·W·BL MXU MACs either way, but the
+            # VPU select runs over W ≤ 256 rows instead of 2H=1536 —
             # the per-step select was the kernel's largest VPU cost
             # (profiled 2026-08-19: kernel at 2.8 ns/lane-step, ~2× the
-            # core-loop floor).  One one-hot (iota_h) feeds both byte
-            # planes; a missing hot id (t0_hid < 0) zeroes the one-hot,
-            # matching the old select-miss value of 0 + 128.
+            # core-loop floor).  With class compression W=128: half the
+            # MXU MACs and half the select tree.  One one-hot (iota_h)
+            # feeds both byte planes; a missing hot id (t0_hid < 0)
+            # zeroes the one-hot, matching the old select-miss value of
+            # 0 + 128.
             oh_h = (iota_h == t0_hid.astype(I16)).astype(jnp.int8)
             cols_lo = jax.lax.dot_general(
                 planes[:H], oh_h,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=I32,
-            )  # (A_pad, BL): entry low bytes - 128 for this lane's state
+            )  # (W, BL): entry low bytes - 128 for this lane's state
             cols_hi = jax.lax.dot_general(
                 planes[H:], oh_h,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=I32,
             )
-            ac = jnp.clip(a, 0, A_pad - 1)
+            ac = jnp.clip(a_cls if use_cls else a, 0, W - 1)
             lo, hi = _tree_gather_rows((cols_lo, cols_hi), ac)
             # a == 0 (no symbol) must read as an all-flags-clear entry;
             # the old mask-reduce yielded 128|128<<8 there, whose five
@@ -292,6 +301,8 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
             enable_skip=True,
             root_t=root_t,
             emit_fn=emit_fn,
+            unknown_cls=unknown_cls,
+            eps_cls=eps_cls,
         )
         step = _make_step(track_counts=False, **step_kwargs)
         # the tracking variant pays vector→scalar reductions (stall /
@@ -373,7 +384,7 @@ def _kernel_call(spec, *, eps, unknown, identity, K, BL, B, early_exit,
         early_exit=early_exit, pring=pring, ch=ch,
     )
     H = spec.H
-    A_pad = spec.A_pad
+    W = spec.C_pad if spec.cls_tab is not None else spec.A_pad
     grid = (B // BL,)
 
     def call(w, rows, ring_T, planes):
@@ -392,7 +403,7 @@ def _kernel_call(spec, *, eps, unknown, identity, K, BL, B, early_exit,
                 pl.BlockSpec((NC, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((pring, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (2 * H, A_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    (2 * H, W), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=(
@@ -425,7 +436,7 @@ def _general_fetches_T(rep, tables, meta_T):
     def probe_fn(carry):
         return carry["eps_t"]
 
-    def fetch_trans(carry, t0, t0_hid, a):
+    def fetch_trans(carry, t0, t0_hid, a, a_cls):
         valid, nontok, t_next = rep.transition(tables, t0, a)
         can = jnp.ones_like(valid)
         false = jnp.zeros_like(valid)
@@ -510,6 +521,10 @@ def _run_machine_pallas(
         return out
 
     fm_g, pf_g, ft_g = _general_fetches_T(rep, tables, meta_T)
+    # the service step must maintain the a_cls register with the same
+    # class constants as the kernel, or the next kernel round would
+    # fetch a stale class after an identity→unknown retry or backtrack
+    use_cls = spec.cls_tab is not None
     step_general = _make_step(
         eps=eps,
         unknown=unknown,
@@ -521,6 +536,8 @@ def _run_machine_pallas(
         eps1=spec.eps1,
         hid1=spec.hid1,
         lc1=spec.lc1,
+        unknown_cls=int(spec.cls_tab[unknown]) if use_cls else 0,
+        eps_cls=int(spec.cls_tab[eps]) if use_cls else 0,
     )
 
     def live_mask(carry):
@@ -664,7 +681,9 @@ class PallasSpec:
             axis=1,
         )  # (P2, 12) int8
         self.tables = (
-            jnp.asarray(spec.planes_kT),       # (2H, A_pad) int8
+            # class-compressed when available (identical to planes_kT
+            # column-for-column through cls_tab; see HotSpec)
+            jnp.asarray(spec.planes_cls_kT),   # (2H, C_pad|A_pad) int8
             jnp.asarray(hf),                    # hot_full, pow2
             jnp.asarray(spec.cold_full_p2),     # cold side table, pow2
             jnp.asarray(spec.hot_index),
