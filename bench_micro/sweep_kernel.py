@@ -28,6 +28,17 @@ CONFIGS = [
          kernel_pring=512),
     dict(name="bl4096", kernel_bl=4096, kernel_k=128, kernel_ch=0),
     dict(name="k256", kernel_bl=2048, kernel_k=256, kernel_ch=0),
+    dict(name="ch8", kernel_bl=2048, kernel_k=128, kernel_ch=8),
+    dict(name="ch16", kernel_bl=2048, kernel_k=128, kernel_ch=16),
+    dict(name="ch4k256", kernel_bl=2048, kernel_k=256, kernel_ch=4),
+    dict(name="ch8k256", kernel_bl=2048, kernel_k=256, kernel_ch=8),
+    dict(name="ch4bl1024", kernel_bl=1024, kernel_k=128, kernel_ch=4),
+    dict(name="hot512", hot_size=512),
+    dict(name="hot640", hot_size=640),
+    dict(name="hot896", hot_size=896),
+    dict(name="pool4", kernel_pool=4),
+    dict(name="pool16", kernel_pool=16),
+    dict(name="hot512pool4", hot_size=512, kernel_pool=4),
 ]
 if os.environ.get("SWEEP_ONLY"):
     names = set(os.environ["SWEEP_ONLY"].split(","))

@@ -121,6 +121,7 @@ class ShardedEngine(BatchEngine):
                     service_k=self.service_k, K=self.kernel_k,
                     BL=self.kernel_bl, early_exit=self.kernel_early_exit,
                     interpret=self.pallas_interpret, ch=self.kernel_ch,
+                    pool=self.kernel_pool,
                     **({"pring": self.kernel_pring} if self.kernel_pring else {}),
                 )
             elif self.accelerated:

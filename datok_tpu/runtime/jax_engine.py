@@ -1300,8 +1300,9 @@ class BatchEngine:
         kernel_k: int = 128,
         kernel_bl: int = 2048,
         kernel_early_exit: bool = True,
-        kernel_ch: int = 0,
+        kernel_ch: int = 8,
         kernel_pring: int = 0,
+        kernel_pool: int = 8,
         pallas_interpret: bool = False,
     ):
         self.tok = tok
@@ -1328,6 +1329,7 @@ class BatchEngine:
         self.kernel_early_exit = kernel_early_exit
         self.kernel_ch = kernel_ch
         self.kernel_pring = kernel_pring
+        self.kernel_pool = kernel_pool
         self.pallas_interpret = pallas_interpret
         self.accelerated = engine in ("hot", "pallas")
         if self.accelerated:
@@ -1495,6 +1497,7 @@ class BatchEngine:
                 {"pring": self.kernel_pring} if self.kernel_pring else {}
             ),
             ch=self.kernel_ch,
+            pool=self.kernel_pool,
         )
         if B_pad != B:
             ys = ys[:, :B]

@@ -194,7 +194,7 @@ def _tree_gather_rows(xs, idx):
 
 
 def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
-                 early_exit=False, pring=PRING, ch=0):
+                 early_exit=False, pring=PRING, ch=0, pool=8):
     H = spec.H
     A_pad = spec.A_pad
     hid1 = spec.hid1
@@ -339,9 +339,10 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
             # the ≤ CH-1 extra steps before an exit are harmless.
             # Mosaic allocates kernel stack for the whole unrolled
             # chunk without cross-step reuse, so chunking multiplies
-            # the step's live set: at BL=2048 even CH=2 blows the
-            # 16 MB scoped-VMEM limit (measured 19.3 MB; CH=4 20.4 MB).
-            # Chunk only for blocks small enough to fit.
+            # the step's live set; under the raised 64 MB VMEM cap and
+            # the class-compressed (halved) fetch, CH=8 at BL=2048 is
+            # the measured optimum (310 MB/s vs 254 at CH=1, v5e;
+            # CH=16 and K=256 combos regress slightly — sweep_kernel).
             CH = ch if (ch > 0 and K % ch == 0) else (2 if (BL <= 1024 and K % 2 == 0) else 1)
 
             def chunk(carry):
@@ -354,12 +355,13 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
                 live = live_of(carry)
                 n_live = jnp.sum(live.astype(I32))
                 # Exit relative to live lanes, and strictly ABOVE the
-                # outer loop's pooled-service threshold (live/8): if the
-                # kernel exited below it, the n_inner==0 backstop would
-                # force a service every round and defeat cold-lane
-                # pooling (see outer_body).  Sparse batches still exit
-                # promptly (threshold scales with live lanes).
-                ok_stalls = carry["stalls"] * 4 < n_live
+                # outer loop's pooled-service threshold (live/pool): if
+                # the kernel exited below it, the n_inner==0 backstop
+                # would force a service every round and defeat cold-lane
+                # pooling (see outer_body).  Exit at 2× the service
+                # share; sparse batches still exit promptly (threshold
+                # scales with live lanes).
+                ok_stalls = carry["stalls"] * pool < 2 * n_live
                 return (carry["steps"] + CH <= K) & (n_live > 0) & ok_stalls
 
             carry = jax.lax.while_loop(cond, chunk, carry)
@@ -378,10 +380,15 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
 
 
 def _kernel_call(spec, *, eps, unknown, identity, K, BL, B, early_exit,
-                 interpret, pring=PRING, ch=0):
+                 interpret, pring=PRING, ch=0, pool=8):
+    if interpret:
+        # chunking only pays on hardware (it cuts Mosaic's per-step
+        # vector→scalar reductions); in interpreter mode the unrolled
+        # chunk just multiplies trace/compile time
+        ch = 0
     kernel = _make_kernel(
         spec, eps=eps, unknown=unknown, identity=identity, K=K, BL=BL,
-        early_exit=early_exit, pring=pring, ch=ch,
+        early_exit=early_exit, pring=pring, ch=ch, pool=pool,
     )
     H = spec.H
     W = spec.C_pad if spec.cls_tab is not None else spec.A_pad
@@ -450,6 +457,7 @@ def _general_fetches_T(rep, tables, meta_T):
     static_argnames=(
         "eps", "unknown", "identity", "rep", "spec", "max_steps",
         "service_k", "K", "BL", "early_exit", "interpret", "pring", "ch",
+        "pool",
     ),
 )
 def _run_machine_pallas(
@@ -476,6 +484,7 @@ def _run_machine_pallas(
     interpret=False,
     pring=PRING,
     ch=0,
+    pool=8,
 ):
     """Fused-kernel machine: K-step Pallas rounds + XLA service steps."""
     L, B = meta_T.shape
@@ -500,7 +509,7 @@ def _run_machine_pallas(
     call = _kernel_call(
         spec, eps=eps, unknown=unknown, identity=identity, K=K, BL=BL,
         B=B, early_exit=early_exit, interpret=interpret, pring=pring,
-        ch=ch,
+        ch=ch, pool=pool,
     )
 
     aux_map = (
@@ -605,13 +614,13 @@ def _run_machine_pallas(
         # cost.  With heterogeneous lanes cold events de-synchronize,
         # so demand-servicing fired every round and dominated the run
         # (measured 102 services / 103 rounds, 4× slowdown).  Service
-        # when ≥1/8 of the *live* lanes are pooled (scales down as
+        # when ≥1/pool of the *live* lanes are pooled (scales down as
         # lanes finish, so tails drain), on heartbeat, or when nothing
         # progressed.
         n_live2 = jnp.sum(live2.astype(I32))
         cold_cnt = jnp.sum(cold_lane.astype(I32))
         out["need_srv"] = jnp.any(live2) & (
-            (cold_cnt * 8 >= n_live2)
+            (cold_cnt * pool >= n_live2)
             | (out["since"] >= service_k)
             | (n_inner == 0)
         )

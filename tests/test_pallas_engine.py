@@ -50,6 +50,35 @@ def test_pallas_spec_tables(mat_de):
     assert spec.n_cold <= 2047
 
 
+def test_symbol_class_compression_exact(mat_de):
+    """Class-compressed planes must be column-identical through cls_tab.
+
+    The fused kernel matmuls against one column per symbol CLASS and
+    gathers by the meta-borne class id (encode.py META_CLS_*); this
+    pins the invariant that makes the optimization exact: for every
+    symbol a, planes_cls[:, cls_tab[a]] == planes[:, a] bit-for-bit.
+    """
+    eng = BatchEngine(
+        mat_de, engine="pallas", kernel_bl=128, pallas_interpret=True
+    )
+    spec = eng.spec
+    assert spec.cls_tab is not None, "DE model should compress"
+    assert spec.C_pad == 128 and spec.A_pad == 256
+    assert int(spec.cls_tab.max()) < 128  # fits META_CLS_MASK
+    np.testing.assert_array_equal(
+        spec.planes_cls_kT[:, spec.cls_tab], spec.planes_kT
+    )
+    # the encoder stamps the same ids the kernel constants use
+    assert eng.encoder.cls_tab is spec.cls_tab
+    meta = eng.encoder.encode(np.frombuffer(
+        "Der alte Mann z.B. ä\x04".encode("utf-32-le"), dtype="<u4"
+    ).astype(np.int32))
+    from datok_tpu.runtime.encode import META_A_MASK, META_CLS_MASK, META_CLS_SHIFT
+    a = meta & META_A_MASK
+    cls = (meta >> META_CLS_SHIFT) & META_CLS_MASK
+    np.testing.assert_array_equal(cls, spec.cls_tab[a])
+
+
 def test_pallas_parity_oracle(pallas_engine, mat_de):
     got = pallas_engine.tokenize_batch(TEXTS)
     want = [mat_de.tokenize(t) for t in TEXTS]
