@@ -39,6 +39,8 @@ CONFIGS = [
     dict(name="pool4", kernel_pool=4),
     dict(name="pool16", kernel_pool=16),
     dict(name="hot512pool4", hot_size=512, kernel_pool=4),
+    dict(name="hot384", hot_size=384),
+    dict(name="hot448", hot_size=448),
 ]
 if os.environ.get("SWEEP_ONLY"):
     names = set(os.environ["SWEEP_ONLY"].split(","))

@@ -493,7 +493,9 @@ def _run_machine_pallas(
     # the three raw id tables are superseded here by dec_planes (matmul
     # decode); they stay in the tuple for decode_tagged debug use
     (planes, _hot_full_p2, _cold_full_p2, hot_index, eps_avail, lc_avail,
-     _eps_full_p2, dec_planes) = pallas_tables
+     _eps_full_p2, dec_planes) = pallas_tables[:8]
+    has_svc = spec.svc_ok  # packed one-gather service fetch available
+    svc_packed = pallas_tables[8] if has_svc else None
     # The work budget is counted in *steps* (inner + service), not
     # rounds: every outer round advances the step counter by at least
     # one (a zero-inner-step round always runs exactly one service
@@ -534,20 +536,46 @@ def _run_machine_pallas(
     # class constants as the kernel, or the next kernel round would
     # fetch a stale class after an identity→unknown retry or backtrack
     use_cls = spec.cls_tab is not None
-    step_general = _make_step(
-        eps=eps,
-        unknown=unknown,
-        identity=identity,
-        fetch_meta=fm_g,
-        probe_fn=pf_g,
-        fetch_trans=ft_g,
-        aux_update=aux,
-        eps1=spec.eps1,
-        hid1=spec.hid1,
-        lc1=spec.lc1,
-        unknown_cls=int(spec.cls_tab[unknown]) if use_cls else 0,
-        eps_cls=int(spec.cls_tab[eps]) if use_cls else 0,
-    )
+    svc_ucls = int(spec.cls_tab[unknown]) if use_cls else 0
+    svc_ecls = int(spec.cls_tab[eps]) if use_cls else 0
+
+    if has_svc:
+        # ONE serial gather per service (the packed table carries
+        # target + nontoken + ε/lc-avail + hot id, see HotSpec
+        # svc_packed) instead of transition + aux refresh; indexing is
+        # the raw matrix's (matrix.go:463)
+        S_full = rep.S
+
+        def ft_svc(carry, t0, t0_hid, a, a_cls):
+            idx = jnp.clip((a - 1) * S_full + t0, 0, svc_packed.shape[0] - 1)
+            e = jnp.where(a > 0, jnp.take(svc_packed, idx), 0)
+            valid = e != 0
+            t_next = e & 0x3FFFF
+            nontok = ((e >> 18) & 1) != 0
+            epst = ((e >> 19) & 1) != 0
+            lct = ((e >> 20) & 1) != 0
+            t_hid = ((e >> 21) & 0x3FF) - 1
+            return jnp.ones_like(valid), valid, nontok, t_next, t_hid, epst, lct
+
+        svc_ft, svc_aux = ft_svc, None
+    else:
+        svc_ft, svc_aux = ft_g, aux
+
+    def make_service_step(fetch_meta):
+        return _make_step(
+            eps=eps,
+            unknown=unknown,
+            identity=identity,
+            fetch_meta=fetch_meta,
+            probe_fn=pf_g,
+            fetch_trans=svc_ft,
+            aux_update=svc_aux,
+            eps1=spec.eps1,
+            hid1=spec.hid1,
+            lc1=spec.lc1,
+            unknown_cls=svc_ucls,
+            eps_cls=svc_ecls,
+        )
 
     def live_mask(carry):
         return (carry["phase"] == 0) | (carry["pend"] != 0)
@@ -555,20 +583,25 @@ def _run_machine_pallas(
     def service_cond(carry):
         return carry["need_srv"]
 
-    def service_body(carry):
-        out = dict(carry)
-        # resolve tagged registers before the exact general step
-        out["t"] = decode(out["t"])
-        out["t0"] = decode(out["t0"])
-        out["eps_s"] = decode(out["eps_s"])
-        out["ckpt"] = decode(out["ckpt"] & 0x0FFFFFFF) | (
-            out["ckpt"] & jnp.int32(0x70000000)
-        )
-        out = step_general(out)
-        out["need_srv"] = jnp.array(False)
-        out["since"] = jnp.int32(0)
-        out["services"] = carry["services"] + 1
-        return out
+    def make_service_body(step_srv):
+        def service_body(carry):
+            out = dict(carry)
+            # resolve tagged registers before the exact general step
+            out["t"] = decode(out["t"])
+            out["t0"] = decode(out["t0"])
+            out["eps_s"] = decode(out["eps_s"])
+            out["ckpt"] = decode(out["ckpt"] & 0x0FFFFFFF) | (
+                out["ckpt"] & jnp.int32(0x70000000)
+            )
+            out = step_srv(out)
+            out["need_srv"] = jnp.array(False)
+            out["since"] = jnp.int32(0)
+            out["services"] = carry["services"] + 1
+            return out
+
+        return service_body
+
+    service_body_exact = make_service_body(make_service_step(fm_g))
 
     nb = B // BL
 
@@ -624,7 +657,30 @@ def _run_machine_pallas(
             | (out["since"] >= service_k)
             | (n_inner == 0)
         )
-        return jax.lax.while_loop(service_cond, service_body, out)
+        if has_svc:
+            # Windowed service meta fetch: a tree-select over the SAME
+            # per-block ring windows the kernel round just used,
+            # replacing the serial take_along_axis over (L, B) — the
+            # largest of the three per-service serial gathers.  Lanes
+            # more than `pring` ahead of their block's slowest live
+            # lane meta-stall (exact: the read phase is idempotent and
+            # re-runs once the window catches up); the slowest lane of
+            # every block is always in window, so rounds always
+            # progress.
+            w_lane = jnp.repeat(w_blk, BL).astype(I32)
+
+            def fm_srv(carry):
+                off = carry["c"] - w_lane
+                can = (off >= 0) & (off < pring)
+                (v,) = _tree_gather_rows(
+                    (ring_T,), jnp.clip(off, 0, pring - 1)
+                )
+                return v[0], can
+
+            body = make_service_body(make_service_step(fm_srv))
+        else:
+            body = service_body_exact
+        return jax.lax.while_loop(service_cond, body, out)
 
     def outer_cond(carry):
         return (carry["steps"] + K + 2 <= max_steps_pad) & jnp.any(
@@ -700,4 +756,6 @@ class PallasSpec:
             jnp.asarray(spec.lc_avail),
             jnp.asarray(ef),                    # ε-target full ids, pow2
             jnp.asarray(dec),                   # (P2, 12) decode planes
-        )
+        ) + (
+            (jnp.asarray(spec.svc_packed),) if spec.svc_ok else ()
+        )                                       # packed service table

@@ -85,6 +85,26 @@ def test_pallas_parity_oracle(pallas_engine, mat_de):
     assert got == want
 
 
+def test_pallas_parity_no_svc_packed(mat_de):
+    """The unpacked service fallback (svc_ok=False) stays exact.
+
+    Models too large for the packed one-gather service table (S ≥ 2^18
+    states or H > 1022) run the original take_along_axis + aux-refresh
+    service; pin its parity so the fallback never rots.
+    """
+    from datok_tpu.runtime.pallas_engine import PallasSpec
+
+    eng = BatchEngine(
+        mat_de, engine="pallas", kernel_k=16, kernel_bl=128,
+        pallas_interpret=True,
+    )
+    eng.spec.svc_ok = False  # before first run: jit keys on this spec
+    eng.pallas_spec = PallasSpec(eng.spec)
+    got = eng.tokenize_batch(TEXTS[:4])
+    want = [mat_de.tokenize(t) for t in TEXTS[:4]]
+    assert got == want
+
+
 def test_pallas_parity_early_exit(mat_de):
     eng = BatchEngine(
         mat_de,
