@@ -41,6 +41,8 @@ CONFIGS = [
     dict(name="hot512pool4", hot_size=512, kernel_pool=4),
     dict(name="hot384", hot_size=384),
     dict(name="hot448", hot_size=448),
+    dict(name="pring128", kernel_pring=128),
+    dict(name="pring512b", kernel_pring=512),
 ]
 if os.environ.get("SWEEP_ONLY"):
     names = set(os.environ["SWEEP_ONLY"].split(","))

@@ -97,6 +97,17 @@ class DaTokenizer:
             dat.sigma[cp] = num
 
         final = auto.final
+        try:  # native C++ builder: same placement, Go-class speed
+            from ..utils.native import native_da_build
+
+            r = native_da_build(auto)
+        except Exception:
+            r = None
+        if r is not None:
+            dat.base, dat.check = r
+            dat.max_size = len(dat.base) - final
+            return dat
+
         cap = max(1024, final + 2)
         base = np.zeros(cap, dtype=np.uint32)
         check = np.zeros(cap, dtype=np.uint32)

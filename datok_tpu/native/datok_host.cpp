@@ -15,6 +15,7 @@
 //
 // Exposed as a plain C ABI for ctypes; built with setup_native.py.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -372,6 +373,126 @@ int64_t dt_cut_walk(const uint32_t* table, int32_t state_count, int32_t eps,
   *n_rw = nrw / 3;
   return nev / 3;
 }
+
+// ---------------------------------------------------------------------------
+// Double-array construction (datok.go:82-236 semantics)
+//
+// Bit-identical to the Python builder in fsa/double_array.py (same BFS
+// order, same first-fit + Niu-skip placement policy, datok.go:381-401)
+// but runs the sequential slot search in C++ — the reference's Go
+// construction speed class for the offline model compiler.  Arcs come
+// flattened per state, symbols ascending: arc_off[s]..arc_off[s+1]
+// index arc_sym/arc_end/arc_flags (flags: bit0 nontoken, bit1
+// tokenend; the `final` pseudo-symbol has end=0).
+// ---------------------------------------------------------------------------
+
+static const uint32_t DA_SECONDBIT = 1u << 30;
+
+struct DaBuild {
+  std::vector<uint32_t> base, check;
+  int64_t n = 0;
+};
+
+void* dt_da_build(const int64_t* arc_off, const int32_t* arc_sym,
+                  const int32_t* arc_end, const uint8_t* arc_flags,
+                  int32_t n_states, int32_t final_sym) {
+  auto* h = new DaBuild();
+  std::vector<uint32_t>& base = h->base;
+  std::vector<uint32_t>& check = h->check;
+  std::vector<uint8_t> occ;
+  int64_t cap = 1024;
+  base.assign(cap, 0);
+  check.assign(cap, 0);
+  occ.assign(cap, 0);
+  int64_t first_free = 1, max_size = 0;
+  std::vector<int64_t> lookup(n_states + 2, 0);
+  std::vector<int32_t> qs;
+  std::vector<int64_t> qt;
+  qs.reserve(n_states + 1);
+  qt.reserve(n_states + 1);
+  qs.push_back(1);
+  qt.push_back(1);
+  lookup[1] = 1;
+  auto ensure = [&](int64_t need) {
+    if (need >= cap) {
+      int64_t ncap = cap * 2;
+      while (ncap <= need) ncap *= 2;
+      base.resize(ncap, 0);
+      check.resize(ncap, 0);
+      occ.resize(ncap, 0);
+      cap = ncap;
+    }
+  };
+  for (size_t mark = 0; mark < qs.size(); mark++) {
+    int32_t s = qs[mark];
+    int64_t t = qt[mark];
+    int64_t a0 = arc_off[s], a1 = arc_off[s + 1];
+    int64_t b = 1;
+    if (a1 > a0) {
+      int32_t amin = arc_sym[a0], amax = arc_sym[a1 - 1];
+      if (a1 - a0 >= 3) {  // Niu skip: dense states start near the end
+        b = (int64_t)std::fabs((double)(max_size - 1) * 0.9) + 1;
+      } else {
+        while (first_free < cap && occ[first_free]) first_free++;
+        b = first_free - amin;
+        if (b < 1) b = 1;
+      }
+      for (;; b++) {
+        ensure(b + amax + 1);
+        bool ok = true;
+        for (int64_t i = a0; i < a1; i++)
+          if (occ[b + arc_sym[i]]) {
+            ok = false;
+            break;
+          }
+        if (ok) break;
+      }
+    }
+    base[t] = (uint32_t)b;
+    for (int64_t i = a0; i < a1; i++) {
+      int32_t a = arc_sym[i];
+      int64_t t1 = b + a;
+      ensure(t1 + 1);
+      if (a != final_sym) {
+        uint32_t cell = (uint32_t)t;
+        if (arc_flags[i] & 1) cell |= FIRSTBIT;
+        if (arc_flags[i] & 2) cell |= DA_SECONDBIT;
+        check[t1] = cell;
+        occ[t1] = 1;
+        if (max_size < t1) max_size = t1;
+        int32_t s1 = arc_end[i];
+        int64_t r = lookup[s1];
+        if (r == 0) {
+          lookup[s1] = t1;
+          qs.push_back(s1);
+          qt.push_back(t1);
+        } else {
+          // duplicate target: point at the representative (separate bit)
+          base[t1] = (uint32_t)r | FIRSTBIT;
+        }
+      } else {
+        check[t1] = (uint32_t)t;
+        occ[t1] = 1;
+        if (max_size < t1) max_size = t1;
+      }
+    }
+  }
+  int64_t n = max_size + final_sym;
+  ensure(n);
+  base.resize(n);
+  check.resize(n);
+  check[1] = (uint32_t)n;  // array size lives in check(1) (datok.go:230)
+  h->n = n;
+  return h;
+}
+
+int64_t dt_da_size(void* hv) { return ((DaBuild*)hv)->n; }
+void dt_da_copy(void* hv, uint32_t* base_out, uint32_t* check_out) {
+  auto* h = (DaBuild*)hv;
+  memcpy(base_out, h->base.data(), h->n * 4);
+  memcpy(check_out, h->check.data(), h->n * 4);
+}
+void dt_da_free(void* hv) { delete (DaBuild*)hv; }
 
 // ---------------------------------------------------------------------------
 // Event formatting with TokenWriter parity (token_writer.go:36-175)

@@ -85,6 +85,15 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32, i32p, ctypes.c_int64,
             ctypes.c_int64, i32p, ctypes.c_int64, i32p, i64p,
         ]
+        i64p_ = ctypes.POINTER(ctypes.c_int64)
+        lib.dt_da_build.restype = ctypes.c_void_p
+        lib.dt_da_build.argtypes = [
+            i64p_, i32p, i32p, i8p, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.dt_da_size.restype = ctypes.c_int64
+        lib.dt_da_size.argtypes = [ctypes.c_void_p]
+        lib.dt_da_copy.argtypes = [ctypes.c_void_p, u32p, u32p]
+        lib.dt_da_free.argtypes = [ctypes.c_void_p]
         lib.dt_writer_new.restype = ctypes.c_void_p
         lib.dt_writer_new.argtypes = [ctypes.c_int]
         lib.dt_writer_free.argtypes = [ctypes.c_void_p]
@@ -126,6 +135,61 @@ def native_encode(encoder, data: bytes):
         _ptr(cps, ctypes.c_int32), _ptr(metas, ctypes.c_int32),
     )
     return cps[:out], metas[:out]
+
+
+def native_da_build(auto):
+    """Double-array construction via the native builder, or None.
+
+    Bit-identical to the Python builder in fsa/double_array.py (same
+    BFS order and placement policy); returns (base, check) uint32
+    arrays with the array size already stored in check[1].
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_states = len(auto.transitions) - 1
+    offs = np.zeros(n_states + 2, dtype=np.int64)
+    syms: list = []
+    ends: list = []
+    flags: list = []
+    for s in range(1, n_states + 1):
+        trans = auto.transitions[s]
+        if trans:
+            for a in sorted(trans.keys()):
+                syms.append(a)
+                if a != auto.final:
+                    e = trans[a]
+                    ends.append(e.end)
+                    flags.append(
+                        (1 if e.nontoken else 0) | (2 if e.tokenend else 0)
+                    )
+                else:
+                    ends.append(0)
+                    flags.append(0)
+        offs[s + 1] = len(syms)
+    arc_sym = np.asarray(syms, dtype=np.int32)
+    arc_end = np.asarray(ends, dtype=np.int32)
+    arc_flags = np.asarray(flags, dtype=np.uint8)
+    h = lib.dt_da_build(
+        _ptr(offs, ctypes.c_int64),
+        _ptr(arc_sym, ctypes.c_int32),
+        _ptr(arc_end, ctypes.c_int32),
+        _ptr(arc_flags, ctypes.c_uint8),
+        n_states,
+        auto.final,
+    )
+    if not h:
+        return None
+    try:
+        n = lib.dt_da_size(h)
+        base = np.empty(n, dtype=np.uint32)
+        check = np.empty(n, dtype=np.uint32)
+        lib.dt_da_copy(
+            h, _ptr(base, ctypes.c_uint32), _ptr(check, ctypes.c_uint32)
+        )
+    finally:
+        lib.dt_da_free(h)
+    return base, check
 
 
 def native_transduce_events(

@@ -90,3 +90,27 @@ def test_native_cut_walk_parity(mat_de, enc):
             n_ev, n_rw = n
             assert n_ev == o_ev, (pos, ctx, stop)
             assert n_rw == o_rw, (pos, ctx, stop)
+
+
+def test_native_da_build_matches_python(ref_testdata):
+    """Native C++ double-array builder is bit-identical to the Python
+    builder (same BFS order and first-fit + Niu-skip placement)."""
+    import datok_tpu as dt
+    import datok_tpu.utils.native as nat
+    from datok_tpu.fsa.double_array import DaTokenizer
+
+    auto = dt.load_foma_file(f"{ref_testdata}/abbr_bench.fst")
+    r = nat.native_da_build(auto)
+    if r is None:
+        pytest.skip("native library unavailable")
+    orig = nat.native_da_build
+    nat.native_da_build = lambda a: None  # force the Python fallback
+    try:
+        py = DaTokenizer.from_automaton(auto)
+    finally:
+        nat.native_da_build = orig
+    np.testing.assert_array_equal(r[0], py.base)
+    np.testing.assert_array_equal(r[1], py.check)
+    # reference load-factor class (datok_test.go:1242 asserts > 88)
+    dat = DaTokenizer.from_automaton(auto)
+    assert dat.load_factor() > 88.0
