@@ -88,6 +88,7 @@ def main():
         print(json.dumps({
             "config": name, **cfg, "bad": nbad,
             "rounds": int(eng.last_stats[0]), "services": int(eng.last_stats[1]),
+            "steps": int(steps),
             "compile_s": round(compile_s, 1),
             "mbps": round(nbytes / med / 1e6, 2),
         }), flush=True)

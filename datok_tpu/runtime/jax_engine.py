@@ -372,20 +372,26 @@ def _make_step(
         # end), EOT keeps its special handling, and a stale-ok identity
         # symbol must take the identity→unknown retry first.
         if fus is not None:
-            m_bf = (
+            _bf_base = (
                 m_read
                 & ~m_skip
                 & ~valid
                 & fus["have"]
-                & ((c - b) > ft)
                 & ~eot
                 & (ok | (a != identity))
             )
+            m_bf = _bf_base & ((c - b) > ft)
+            # fused SENTENCE end: same fail→backtrack→ε→re-read-consume
+            # composition but with no pending token, so the ε emits a
+            # sentence end WITHOUT rewinding (matrix.go:573-576) and
+            # the consume continues the unflushed buffer
+            m_bs = _bf_base & ((c - b) <= ft)
         else:
             m_bf = jnp.zeros_like(m_read)
+            m_bs = m_bf
 
         # ---- transition outcome -----------------------------------------
-        m_trans = ((m_read & ~m_skip) | m_old) & ~m_bf
+        m_trans = ((m_read & ~m_skip) | m_old) & ~m_bf & ~m_bs
         m_fail = m_trans & ~valid
         f1 = m_fail & ~ok & (a == identity)
         f2 = m_fail & ~f1 & (a != eps) & (eps_s != 0)
@@ -427,7 +433,7 @@ def _make_step(
 
         # ---- event emission (candidates are always ordered T, S, X) ------
         w_tok = flush | f3 | resid | m_bf
-        w_sent = sent | sent2 | efin_sent
+        w_sent = sent | sent2 | efin_sent | m_bs
         w_text = e_m | efin_text
         tok_start = b + ft
         tok_end = jnp.where(f3, c_f3, c)
@@ -508,22 +514,31 @@ def _make_step(
             # entry's final target, backtrack register = ε-target (as
             # the lazy TAG_EPSOF sentinel) iff ε is available there,
             # checkpoint = ε-target context at the rewind position.
-            t_new = jnp.where(m_bf, fus["t"], t_new)
-            hid_new = jnp.where(m_bf, fus["hid"], hid_new)
-            eps_t_new = _bsel(m_bf, fus["epst"], eps_t_new)
-            lc_new = _bsel(m_bf, fus["lct"], lc_new)
-            c_new = jnp.where(m_bf, c + 1, c_new)
+            # The sentence variant (m_bs) differs only where the
+            # reference's sent path differs from flush: SENT emitted
+            # (w_sent above), no rewind (b/ckpt keep), ft grows by the
+            # leading-nontoken drop, sflag set instead of cleared.
+            m_bb = m_bf | m_bs
+            t_new = jnp.where(m_bb, fus["t"], t_new)
+            hid_new = jnp.where(m_bb, fus["hid"], hid_new)
+            eps_t_new = _bsel(m_bb, fus["epst"], eps_t_new)
+            lc_new = _bsel(m_bb, fus["lct"], lc_new)
+            c_new = jnp.where(m_bb, c + 1, c_new)
             b_new = jnp.where(m_bf, c, b_new)
-            ft_new = jnp.where(m_bf, fus["nontok"].astype(I32), ft_new)
-            eps_s_new = jnp.where(
+            ft_new = jnp.where(
                 m_bf,
+                fus["nontok"].astype(I32),
+                jnp.where(m_bs, ft + fus["nontok"].astype(I32), ft_new),
+            )
+            eps_s_new = jnp.where(
+                m_bb,
                 jnp.where(fus["avail_e"], fus["bt"], 0),
                 eps_s_new,
             )
-            eps_s_hid_new = jnp.where(m_bf, -1, eps_s_hid_new)
-            eps_o_new = jnp.where(m_bf, c, eps_o_new)
-            newchar_new = _bsel(m_bf, True, newchar_new)
-            sflag_new = _bsel(m_bf, False, sflag_new)
+            eps_s_hid_new = jnp.where(m_bb, -1, eps_s_hid_new)
+            eps_o_new = jnp.where(m_bb, c, eps_o_new)
+            newchar_new = _bsel(m_bb, True, newchar_new)
+            sflag_new = _bsel(m_bf, False, _bsel(m_bs, True, sflag_new))
             tflag_new = _bsel(m_bf, False, tflag_new)
             ckpt_new = jnp.where(
                 m_bf, fus["bt"] | (ok.astype(I32) << 30), ckpt_new
@@ -568,7 +583,7 @@ def _make_step(
             # the fused kernel turns them off
             out["stalls"] = jnp.sum(stall.astype(I32))
             out["cold"] = jnp.sum(cold_stall.astype(I32))
-        out["n_backtrack"] = nbt + (f2 | m_bf).astype(I32)
+        out["n_backtrack"] = nbt + (f2 | m_bf | m_bs).astype(I32)
         out["n_force"] = nfe + f3.astype(I32)
         return aux_update(out) if aux_update is not None else out
 

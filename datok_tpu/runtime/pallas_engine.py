@@ -354,15 +354,25 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
             def cond(carry):
                 live = live_of(carry)
                 n_live = jnp.sum(live.astype(I32))
-                # Exit relative to live lanes, and strictly ABOVE the
-                # outer loop's pooled-service threshold (live/pool): if
-                # the kernel exited below it, the n_inner==0 backstop
-                # would force a service every round and defeat cold-lane
-                # pooling (see outer_body).  Exit at 2× the service
-                # share; sparse batches still exit promptly (threshold
-                # scales with live lanes).
-                ok_stalls = carry["stalls"] * pool < 2 * n_live
-                return (carry["steps"] + CH <= K) & (n_live > 0) & ok_stalls
+                # Exit on COLD stalls relative to live lanes, strictly
+                # ABOVE the outer loop's pooled-service threshold
+                # (live/pool): if the kernel exited below it, the
+                # n_inner==0 backstop would force a service every round
+                # and defeat cold-lane pooling (see outer_body).  Meta-
+                # window stalls must NOT end the round: only the window
+                # advancing (i.e. the block's slowest lanes running
+                # more steps) helps them, and exiting early convoys the
+                # whole block behind the spread (measured: rotated-
+                # text lanes all died at the step budget).  Exit when
+                # every live lane is stalled (nothing can progress).
+                ok_cold = carry["cold"] * pool < 2 * n_live
+                any_run = carry["stalls"] < n_live
+                return (
+                    (carry["steps"] + CH <= K)
+                    & (n_live > 0)
+                    & ok_cold
+                    & any_run
+                )
 
             carry = jax.lax.while_loop(cond, chunk, carry)
         else:
@@ -640,7 +650,16 @@ def _run_machine_pallas(
         out["rounds"] = carry["rounds"] + 1
         out["services"] = carry["services"]
         live2 = live_mask(out)
+        w_lane = jnp.repeat(w_blk, BL).astype(I32)
         cold_lane = live2 & ((out["hid"] < 0) | (out["t0_hid"] < 0))
+        if has_svc:
+            # pooled = cold AND inside its block's meta window: the
+            # windowed service cannot advance an out-of-window lane
+            # (its meta fetch stalls exactly like the kernel's), so
+            # counting it would fire useless services every round
+            # until the window catches up.  The exact (non-svc)
+            # service CAN advance any lane — no window filter there.
+            cold_lane = cold_lane & ((out["c"] - w_lane) < pring)
         # Pool cold lanes instead of servicing on first demand: a
         # service costs serial gathers over ALL B lanes (~ms at B=32K),
         # while a stalled lane idles in-kernel at zero marginal wall
@@ -656,6 +675,11 @@ def _run_machine_pallas(
             (cold_cnt * pool >= n_live2)
             | (out["since"] >= service_k)
             | (n_inner == 0)
+            # a round that barely progressed while cold lanes are
+            # pooled is convoying behind them — service immediately
+            # (heterogeneous batches: cold lanes block their block's
+            # meta window, which blocks everyone else)
+            | ((cold_cnt > 0) & (n_inner * 4 <= K))
         )
         if has_svc:
             # Windowed service meta fetch: a tree-select over the SAME
