@@ -228,6 +228,74 @@ class DaTokenizer:
                 valid.append(-a)
         return sorted(valid)
 
+    # -- representation conversion ---------------------------------------
+    def to_matrix(self):
+        """Derive the dense-matrix representation from base/check.
+
+        States are the DA slots reachable from the root slot 1,
+        renumbered densely in BFS discovery order; separate states
+        resolve through their representative before numbering
+        (datok.go:1056-1063), and the nontoken flag moves from the
+        check word (datok.go:300-311) to the matrix cell's FIRSTBIT
+        (matrix.go:84-90).  The tokenend SECONDBIT is not carried —
+        no transduce path reads it (boundaries are ε-driven).
+
+        Runtime-equivalent by construction (transduce parity is
+        pinned by tests); this is what lets ``.datok`` models ride
+        the fused-kernel TPU engine, which wants the dense layout.
+        """
+        from .matrix import MatrixTokenizer
+
+        mat = MatrixTokenizer()
+        mat.unknown = self.unknown
+        mat.identity = self.identity
+        mat.epsilon = self.epsilon
+        mat.sigma = dict(self.sigma)
+        mat.sigma_ascii = self.sigma_ascii.copy()
+
+        size = self.get_size()
+        base = self.base.astype(np.int64)
+        check = self.check.astype(np.int64)
+        syms = sorted(
+            set(self.sigma.values())
+            | {s for s in (self.epsilon, self.unknown, self.identity) if s > 0}
+        )
+        mx = max(syms) if syms else 0
+
+        id_of = {1: 1}
+        order = [1]
+        arcs = []  # (src dense, symbol, target slot, nontoken)
+        qi = 0
+        while qi < len(order):
+            slot = order[qi]
+            qi += 1
+            src = id_of[slot]
+            b = int(base[slot]) & RESTBIT
+            for a in syms:
+                t1 = b + a
+                if t1 > size or t1 >= len(check):
+                    continue
+                if (int(check[t1]) & RESTBIT) != slot:
+                    continue
+                nontok = bool(int(check[t1]) & FIRSTBIT)
+                tgt = t1
+                if int(base[tgt]) & FIRSTBIT:  # separate: follow rep
+                    tgt = int(base[tgt]) & RESTBIT
+                d = id_of.get(tgt)
+                if d is None:
+                    d = len(order) + 1
+                    id_of[tgt] = d
+                    order.append(tgt)
+                arcs.append((src, a, d, nontok))
+        S = len(order)
+        mat.state_count = S
+        mat.array = np.zeros((S + 1) * (mx + 1), dtype=np.uint32)
+        for src, a, d, nontok in arcs:
+            mat.array[(a - 1) * S + src] = np.uint32(
+                d | (FIRSTBIT if nontok else 0)
+            )
+        return mat
+
     # -- serialization ---------------------------------------------------
     def to_bytes(self) -> bytes:
         out = bytearray()

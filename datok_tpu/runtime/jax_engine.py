@@ -1347,12 +1347,20 @@ class BatchEngine:
         kernel_pool: int = 8,
         pallas_interpret: bool = False,
     ):
+        if accelerated is False:
+            engine = "general"
+        if tok.type() == "DATOK" and engine in ("auto", "pallas", "hot"):
+            # the fused kernel wants the dense layout; the conversion
+            # is runtime-equivalent (transduce parity pinned by tests),
+            # so double-array models get full TPU speed transparently
+            try:
+                tok = tok.to_matrix()
+            except Exception:
+                pass
         self.tok = tok
         self.rep = make_rep(tok)
         self.steps_factor = steps_factor
         self.tables = tuple(jnp.asarray(t) for t in self.rep.tables)
-        if accelerated is False:
-            engine = "general"
         if engine == "auto":
             if tok.type() == "MATOK":
                 engine = "pallas" if jax.default_backend() == "tpu" else "hot"

@@ -37,6 +37,16 @@ def test_matok_datok_equivalence(mat_de, dat_de):
         assert mat_de.tokenize(text) == dat_de.tokenize(text), repr(text[:40])
 
 
+def test_da_to_matrix_equivalence(dat_de):
+    """DaTokenizer.to_matrix preserves the DOUBLE-ARRAY behavior
+    exactly (including any quirks of the committed table), which is
+    what lets .datok models ride the fused-kernel engine."""
+    mat2 = dat_de.to_matrix()
+    assert mat2.type() == "MATOK"
+    for text in [BENCH_TEXT] + EXTRA_TEXTS:
+        assert mat2.tokenize(text) == dat_de.tokenize(text), repr(text[:40])
+
+
 def test_constructed_da_matches_loaded_matrix(mat_de):
     auto = dt.load_foma_file(f"{REF}/tokenizer_de.fst")
     # constructing the full DE double array takes minutes; use the

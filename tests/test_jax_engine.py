@@ -41,7 +41,16 @@ def eng_mat(mat_de):
 
 @pytest.fixture(scope="module")
 def eng_da(dat_de):
+    # auto-converts to the dense matrix and runs the accelerated
+    # machine (DaTokenizer.to_matrix); parity is still asserted
+    # against the DOUBLE-ARRAY oracle, pinning the conversion
     return BatchEngine(dat_de)
+
+
+@pytest.fixture(scope="module")
+def eng_da_general(dat_de):
+    # the general serial-gather machine on the raw base/check tables
+    return BatchEngine(dat_de, engine="general")
 
 
 def assert_parity(eng, tok, texts):
@@ -64,6 +73,11 @@ def test_matrix_engine_fuzz_parity(eng_mat, mat_de):
 
 def test_datok_engine_fuzz_parity(eng_da, dat_de):
     assert_parity(eng_da, dat_de, FUZZ)
+
+
+def test_datok_general_engine_parity(eng_da_general, dat_de):
+    assert eng_da_general.engine == "general"
+    assert_parity(eng_da_general, dat_de, CORPUS[:40] + EDGE)
 
 
 def test_tokenize_batch_output(eng_mat, mat_de):
