@@ -24,6 +24,8 @@ B = int(os.environ.get("BENCH_LANES", "32768"))
 L = int(os.environ.get("BENCH_LEN", "1024"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
 PRING = int(os.environ.get("PRING", "0"))
+POOL = int(os.environ.get("POOL", "0"))
+SERVICE_K = int(os.environ.get("SERVICE_K", "0"))
 
 
 def main():
@@ -40,7 +42,14 @@ def main():
         for i in range(B)
     ]
     nbytes = sum(len(t.encode()) for t in texts)
-    eng = BatchEngine(tok, **({"kernel_pring": PRING} if PRING else {}))
+    kw = {}
+    if PRING:
+        kw["kernel_pring"] = PRING
+    if POOL:
+        kw["kernel_pool"] = POOL
+    if SERVICE_K:
+        kw["service_k"] = SERVICE_K
+    eng = BatchEngine(tok, **kw)
     meta, lengths, _ = eng.encoder.encode_batch(texts)
     meta_d = jax.block_until_ready(jnp.asarray(meta))
     lengths_d = jax.block_until_ready(jnp.asarray(lengths))
@@ -57,6 +66,8 @@ def main():
     med = sorted(times)[len(times) // 2]
     print(json.dumps({
         "pring": PRING or "default",
+        "pool": POOL or "default",
+        "service_k": SERVICE_K or "default",
         "bad": int(np.asarray(bad).sum()),
         "rounds": int(eng.last_stats[0]),
         "services": int(eng.last_stats[1]),

@@ -43,6 +43,7 @@ CONFIGS = [
     dict(name="hot448", hot_size=448),
     dict(name="pring128", kernel_pring=128),
     dict(name="pring512b", kernel_pring=512),
+    dict(name="pool32u", kernel_pool=32),
 ]
 if os.environ.get("SWEEP_ONLY"):
     names = set(os.environ["SWEEP_ONLY"].split(","))

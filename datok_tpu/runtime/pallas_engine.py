@@ -500,12 +500,9 @@ def _run_machine_pallas(
     L, B = meta_T.shape
     if L < pring:  # ring slices need `pring` rows; padding is never read
         meta_T = jnp.pad(meta_T, ((0, pring - L), (0, 0)))
-    # the three raw id tables are superseded here by dec_planes (matmul
-    # decode); they stay in the tuple for decode_tagged debug use
-    (planes, _hot_full_p2, _cold_full_p2, hot_index, eps_avail, lc_avail,
-     _eps_full_p2, dec_planes) = pallas_tables[:8]
+    (planes, hot_index, eps_avail, lc_avail, dec_planes) = pallas_tables[:5]
     has_svc = spec.svc_ok  # packed one-gather service fetch available
-    svc_packed = pallas_tables[8] if has_svc else None
+    svc_packed = pallas_tables[5] if has_svc else None
     # The work budget is counted in *steps* (inner + service), not
     # rounds: every outer round advances the step counter by at least
     # one (a zero-inner-step round always runs exactly one service
@@ -773,13 +770,17 @@ class PallasSpec:
             # class-compressed when available (identical to planes_kT
             # column-for-column through cls_tab; see HotSpec)
             jnp.asarray(spec.planes_cls_kT),   # (2H, C_pad|A_pad) int8
-            jnp.asarray(hf),                    # hot_full, pow2
-            jnp.asarray(spec.cold_full_p2),     # cold side table, pow2
             jnp.asarray(spec.hot_index),
             jnp.asarray(spec.eps_avail),
             jnp.asarray(spec.lc_avail),
-            jnp.asarray(ef),                    # ε-target full ids, pow2
             jnp.asarray(dec),                   # (P2, 12) decode planes
         ) + (
             (jnp.asarray(spec.svc_packed),) if spec.svc_ok else ()
         )                                       # packed service table
+        # raw id tables for decode_tagged (debug/inspection only — the
+        # machine decodes via the matmul planes)
+        self.debug_id_tables = (
+            jnp.asarray(hf),                    # hot_full, pow2
+            jnp.asarray(spec.cold_full_p2),     # cold side table, pow2
+            jnp.asarray(ef),                    # ε-target full ids, pow2
+        )

@@ -521,6 +521,11 @@ def tokenize_stream(
                     have[k] = True
             break
         todo = [k for k in range(n) if not have[k]]
+        # length-bucketed waves: each wave pads to its own max, so
+        # grouping similar lengths avoids padding 10-char documents to
+        # an 8 KB wave max (events are reassembled by index, so device
+        # order is free)
+        todo.sort(key=lambda k: len(docs[k]))
         for gi in range(0, len(todo), max_lanes):
             group = todo[gi : gi + max_lanes]
             small = [k for k in group if len(docs[k]) <= MAX_SEGMENT]
