@@ -32,6 +32,20 @@ def test_sharded_matches_oracle(sharded, mat_de):
         assert o == mat_de.tokenize(t)
 
 
+def test_sharded_pallas_matches_oracle(mat_de, mesh8):
+    """The fused-kernel engine under shard_map (the TPU multi-chip
+    path) — interpret mode on the virtual CPU mesh."""
+    eng = ShardedEngine(
+        mat_de, mesh=mesh8, engine="pallas", pallas_interpret=True,
+        kernel_bl=128, kernel_k=16,
+    )
+    assert eng.engine == "pallas"
+    texts = ["Der alte Mann.", "Zwei! Sätze?", "z.B. Weststr. 3.\x04Neu."]
+    outs = eng.tokenize_batch(texts)
+    for t, o in zip(texts, outs):
+        assert o == mat_de.tokenize(t)
+
+
 def test_corpus_stats(sharded):
     texts = ["Ein Satz. Und noch einer!\x04", "Zweiter Text.\x04", "dritter"]
     stats = sharded.corpus_stats(texts)
