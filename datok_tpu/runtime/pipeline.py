@@ -535,6 +535,7 @@ def tokenize_stream(
                     [docs[k] for k in small],
                     entries=entries[small],
                     return_exits=True,
+                    as_arrays=getattr(w, "feed", None) is not None,
                 )
                 for k, ev, ex in zip(small, evs, exs):
                     events[k] = ev
@@ -569,6 +570,15 @@ def tokenize_stream(
                 entries[k + 1] = exits[k]
                 have[k + 1] = False
 
-    for doc, evs in zip(docs, events):
-        replay_events(evs, doc, w)
+    feed = getattr(w, "feed", None)
+    if feed is not None:
+        # batch event feed (NativeWriter): one C call per document
+        # instead of three Python callbacks per token
+        from .encode import text_to_codepoints
+
+        for doc, evs in zip(docs, events):
+            feed(evs, text_to_codepoints(doc))
+    else:
+        for doc, evs in zip(docs, events):
+            replay_events(evs, doc, w)
     return w

@@ -293,6 +293,9 @@ class NativeWriter:
             self.lib.dt_writer_copy(self.h, _ptr(buf, ctypes.c_uint8))
         return buf.tobytes().decode("utf-8")
 
+    def flush(self) -> None:  # TokenWriter API compat
+        pass
+
     def __del__(self):
         try:
             self.lib.dt_writer_free(self.h)

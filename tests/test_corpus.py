@@ -34,3 +34,29 @@ def test_corpus_runner_resume(mat_de, tmp_path):
 
     m = json.load(open(out / "manifest.json", encoding="utf-8"))
     assert len(m["files"]) == 3
+
+
+def test_corpus_native_writer_parity(mat_de, tmp_path):
+    """The corpus runner's native C++ writer fast path produces byte-
+    identical output to the Python TokenWriter replay."""
+    import os
+
+    from datok_tpu.runtime.corpus import CorpusRunner
+    from datok_tpu.runtime.jax_engine import BatchEngine
+    from datok_tpu.runtime.pipeline import tokenize_stream
+    from datok_tpu.runtime.writer import TokenWriter
+
+    text = (
+        "Der alte Mann ging z.B. zur Weststr. 3. Zwei Sätze!\x04"
+        "\nNächster Text mit korap@ids-mannheim.de und 😀.\x04"
+    )
+    src = tmp_path / "in.txt"
+    src.write_text(text, encoding="utf-8")
+    eng = BatchEngine(mat_de, accelerated=False)
+    runner = CorpusRunner(mat_de, str(tmp_path / "out"), engine=eng)
+    runner.run([str(src)])
+    got = open(runner.out_path(str(src)), encoding="utf-8").read()
+
+    w = TokenWriter(runner.flags)
+    tokenize_stream(mat_de, text, w, engine=eng)
+    assert got == w.getvalue()
