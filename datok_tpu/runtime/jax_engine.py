@@ -662,7 +662,6 @@ def _init_carry(B, max_steps, length, eps1, hid1, ctx_init=None, hid_init=None,
         "stalls": jnp.int32(0),
         "cold": jnp.int32(0),
         "sref": jnp.int32(0),
-        "srv_burst": jnp.int32(0),
         "need_srv": jnp.array(False),
         "since": jnp.int32(0),
         "length": length,
@@ -1363,7 +1362,7 @@ class BatchEngine:
         kernel_early_exit: bool = True,
         kernel_ch: int = 8,
         kernel_pring: int = 0,
-        kernel_pool: int = 8,
+        kernel_pool: int = 32,
         pallas_interpret: bool = False,
     ):
         if accelerated is False:

@@ -698,36 +698,14 @@ def _run_machine_pallas(
                 )
                 return v[0], can
 
-            body1 = make_service_body(make_service_step(fm_srv))
-
-            def body(carry):
-                # Service BURSTS: a cold region (e.g. a URL outside the
-                # hot set) is many consecutive cold chars; one service
-                # per round advances it one char and wastes a mostly-
-                # idle kernel round between services (heterogeneous
-                # batches convoy behind it).  Chain service steps while
-                # pooled cold lanes stay dense, bounded to guarantee
-                # exit; each chained step still counts toward the step
-                # budget.
-                out = body1(carry)
-                live = live_mask(out)
-                n_lv = jnp.sum(live.astype(I32))
-                cold = (
-                    live
-                    & ((out["hid"] < 0) | (out["t0_hid"] < 0))
-                    & ((out["c"] - w_lane) < pring)
-                )
-                burst = carry["srv_burst"] + 1
-                out["srv_burst"] = burst
-                out["need_srv"] = (
-                    (jnp.sum(cold.astype(I32)) * pool * 2 >= n_lv)
-                    & (burst < jnp.int32(64))
-                )
-                return out
-
+            # (Service BURSTS — chaining service steps while cold lanes
+            # stay dense — were measured a net LOSS on the rotated
+            # probe: pool32 188 vs 237 MB/s.  A service step costs a
+            # full serial gather over B regardless of how few lanes
+            # need it, so extra services overwhelm the rounds saved.)
+            body = make_service_body(make_service_step(fm_srv))
         else:
             body = service_body_exact
-        out["srv_burst"] = jnp.int32(0)
         return jax.lax.while_loop(service_cond, body, out)
 
     def outer_cond(carry):
