@@ -69,8 +69,8 @@ def main():
         "pool": POOL or "default",
         "service_k": SERVICE_K or "default",
         "bad": int(np.asarray(bad).sum()),
-        "rounds": int(eng.last_stats[0]),
-        "services": int(eng.last_stats[1]),
+        "rounds": int((eng.last_stats or (0, 0, 0))[0]),
+        "services": int((eng.last_stats or (0, 0, 0))[1]),
         "steps": int(steps),
         "compile_s": round(compile_s, 1),
         "mbps": round(nbytes / med / 1e6, 2),

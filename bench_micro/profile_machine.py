@@ -59,8 +59,8 @@ def main():
     print(json.dumps({
         "mode": "hetero" if HETERO else "uniform",
         "wall_ms": round(wall * 1000, 1),
-        "rounds": int(eng.last_stats[0]),
-        "services": int(eng.last_stats[1]),
+        "rounds": int((eng.last_stats or (0, 0, 0))[0]),
+        "services": int((eng.last_stats or (0, 0, 0))[1]),
     }))
 
     # roll up device op durations from the trace proto (best effort)

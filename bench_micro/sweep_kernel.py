@@ -88,7 +88,7 @@ def main():
         med = sorted(times)[len(times) // 2]
         print(json.dumps({
             "config": name, **cfg, "bad": nbad,
-            "rounds": int(eng.last_stats[0]), "services": int(eng.last_stats[1]),
+            "rounds": int((eng.last_stats or (0, 0, 0))[0]), "services": int((eng.last_stats or (0, 0, 0))[1]),
             "steps": int(steps),
             "compile_s": round(compile_s, 1),
             "mbps": round(nbytes / med / 1e6, 2),

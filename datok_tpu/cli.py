@@ -135,18 +135,39 @@ def main(argv=None) -> int:
     c2.add_argument("--newline-after-eot", action="store_true", default=False)
 
     args = p.parse_args(argv)
-    if args.cmd == "convert":
-        return cmd_convert(args)
-    if args.cmd == "corpus":
-        from .fsa.io import load_tokenizer_file as _load
-        from .runtime.corpus import CorpusRunner
+    # malformed model/foma files exit with a clean one-line error, not
+    # a traceback (the reference logs and returns nil —
+    # fomafile.go:158-165, datok.go:645-663)
+    import gzip
+    import struct
+    import zlib
 
-        tok = _load(args.tokenizer)
-        runner = CorpusRunner(tok, args.out_dir, flags=make_flags(args))
-        stats = runner.run(args.files, verbose=True)
-        print(json.dumps(stats))
-        return 0
-    return cmd_tokenize(args)
+    try:
+        if args.cmd == "convert":
+            return cmd_convert(args)
+        if args.cmd == "corpus":
+            from .fsa.io import load_tokenizer_file as _load
+            from .runtime.corpus import CorpusRunner
+
+            tok = _load(args.tokenizer)
+            runner = CorpusRunner(tok, args.out_dir, flags=make_flags(args))
+            stats = runner.run(args.files, verbose=True)
+            print(json.dumps(stats))
+            return 0
+        return cmd_tokenize(args)
+    except (
+        OSError,
+        ValueError,
+        KeyError,
+        IndexError,
+        EOFError,
+        gzip.BadGzipFile,
+        zlib.error,
+        struct.error,
+        UnicodeDecodeError,
+    ) as e:
+        print(f"datok-tpu: error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -32,7 +32,12 @@ static const uint32_t META_FOUND = 1u << 16;
 static const uint32_t META_NONASCII = 1u << 17;
 static const uint32_t META_EOT = 1u << 18;
 static const int META_RUN_SHIFT = 19;
-static const uint32_t META_RUN_MASK = 0x1F;  // bits 24..30 = class id (encode.py)
+// Bits 19..23 = capped hot-run length (META_RUN_*); bits 24..30 hold
+// the symbol CLASS id in encode.py, which dt_encode does NOT stamp —
+// native-encoded metas must not feed an encoder/engine with cls_tab
+// set (the class-compressed kernel fetch would read class 0 for every
+// symbol).  native_encode (utils/native.py) enforces this.
+static const uint32_t META_RUN_MASK = 0x1F;
 
 // Decode UTF-8 `data[0:n]`; write codepoints to cps (capacity n) and
 // packed meta to metas.  `ascii_tab` has 256 entries; `keys`/`vals`

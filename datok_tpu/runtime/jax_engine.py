@@ -1373,8 +1373,22 @@ class BatchEngine:
             # so double-array models get full TPU speed transparently
             try:
                 tok = tok.to_matrix()
-            except Exception:
-                pass
+            except Exception as e:
+                # an explicitly requested accelerated engine must not
+                # silently downgrade to the serial-gather machine
+                if engine in ("pallas", "hot"):
+                    raise RuntimeError(
+                        f"engine={engine!r} requires the dense matrix "
+                        f"layout but to_matrix() failed: {e}"
+                    ) from e
+                import warnings
+
+                warnings.warn(
+                    f"double-array → matrix conversion failed ({e}); "
+                    "falling back to the serial-gather engine",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         self.tok = tok
         self.rep = make_rep(tok)
         self.steps_factor = steps_factor
@@ -1422,6 +1436,8 @@ class BatchEngine:
         else:
             self.encoder = SymbolEncoder(tok)
         self.engine = engine
+        # (rounds, services, since) after a pallas run; None otherwise
+        self.last_stats = None
 
     def max_steps_for(self, L: int) -> int:
         return int(self.steps_factor * L) + 64

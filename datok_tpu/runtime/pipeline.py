@@ -514,8 +514,13 @@ def tokenize_stream(
             for k in range(n):
                 if not have[k]:
                     box: List[int] = []
+                    # entries[] hold state ids in the *engine's*
+                    # representation (BatchEngine may convert DATOK →
+                    # MATOK, whose dense ids differ from DA slot ids
+                    # beyond the root) — walk engine.tok, not tok
                     events[k] = transduce_events_fast(
-                        tok, docs[k], entry_state=int(entries[k]), exit_box=box
+                        engine.tok, docs[k], entry_state=int(entries[k]),
+                        exit_box=box,
                     )
                     exits[k] = box[0] if box else 1
                     have[k] = True

@@ -116,6 +116,12 @@ def native_encode(encoder, data: bytes):
     """UTF-8 bytes → (codepoints, metas) via the native library.
 
     Returns None if the library is unavailable.
+
+    ``dt_encode`` does not stamp the symbol CLASS bits (meta bits
+    24..30, encode.py): its metas feed the host-side scalar walks
+    (which read only the symbol/flag/run fields), never the
+    class-compressed device kernel — use ``encoder.encode_batch`` for
+    device input.
     """
     lib = get_lib()
     if lib is None:

@@ -48,15 +48,11 @@ def scenario_id(i, s):
     return f"{i}-{s['model'][1]}-{text}"
 
 
-@pytest.mark.parametrize(
-    "scen", SCENARIOS, ids=[scenario_id(i, s) for i, s in enumerate(SCENARIOS)]
-)
-def test_scenario(scen):
-    if scen.get("stale_fixture"):
-        pytest.skip(
-            "expectation requires 0.3.1 grammar features absent from the "
-            "snapshot's committed binary fixtures (see conformance/extract.py)"
-        )
+def check_scenario(scen):
+    """Assert one scenario end-to-end through the scalar oracle.
+
+    Shared with test_stale_fixtures.py, which asserts the *inverse*
+    (stale scenarios must still fail on the committed fixtures)."""
     tok = get_model(scen["model"])
     out = tok.tokenize(scen["input"])
 
@@ -87,3 +83,16 @@ def test_scenario(scen):
             assert sentences[i] == expected, (sentences[i], expected)
         if scen.get("sent_len") is not None:
             assert len(sentences) == scen["sent_len"]
+
+
+@pytest.mark.parametrize(
+    "scen", SCENARIOS, ids=[scenario_id(i, s) for i, s in enumerate(SCENARIOS)]
+)
+def test_scenario(scen):
+    if scen.get("stale_fixture"):
+        pytest.skip(
+            "expectation requires 0.3.1 grammar features absent from the "
+            "snapshot's committed binary fixtures (see conformance/extract.py "
+            "and tests/test_stale_fixtures.py, which asserts the staleness)"
+        )
+    check_scenario(scen)

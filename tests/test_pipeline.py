@@ -67,6 +67,41 @@ def test_cli_convert_and_tokenize(tmp_path, capsys):
     assert capsys.readouterr().out == "Der\nalte\nMann\n.\n\n\n"
 
 
+def test_cli_malformed_files_exit_cleanly(tmp_path, capsys):
+    """Bad model/foma files: one clean stderr line + nonzero exit, no
+    traceback (reference logs and returns nil — fomafile.go:158-165,
+    datok.go:645-663)."""
+    import gzip
+
+    from datok_tpu.cli import main
+
+    bad = tmp_path / "bad.matok"
+    bad.write_bytes(b"not a gzip file at all")
+    rc = main(["tokenize", "-t", str(bad), "-"])
+    err = capsys.readouterr().err
+    assert rc == 1 and err.startswith("datok-tpu: error:")
+
+    # gzip, but wrong magic
+    wrong = tmp_path / "wrong.matok"
+    with gzip.open(wrong, "wb") as f:
+        f.write(b"BOGUS data here")
+    rc = main(["tokenize", "-t", str(wrong), "-"])
+    err = capsys.readouterr().err
+    assert rc == 1 and "error" in err
+
+    # missing file
+    rc = main(["tokenize", "-t", str(tmp_path / "nope.matok"), "-"])
+    assert rc == 1
+
+    # malformed foma input to convert
+    badfst = tmp_path / "bad.fst"
+    with gzip.open(badfst, "wb") as f:
+        f.write(b"##foma-net 1.0##\n##props##\nnot numbers\n")
+    rc = main(["convert", "-i", str(badfst), "-o", str(tmp_path / "o.matok")])
+    err = capsys.readouterr().err
+    assert rc == 1 and err.startswith("datok-tpu: error:")
+
+
 def test_long_document_segmentation(mat_de, monkeypatch):
     import datok_tpu.runtime.oracle as O
     from datok_tpu.runtime.jax_engine import BatchEngine
