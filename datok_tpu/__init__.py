@@ -42,6 +42,24 @@ from .runtime.events import EV_TOKEN, EV_SENT, EV_TEXT, replay_events, format_ev
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # Device-engine surfaces import jax; load them lazily so the pure
+    # host paths (oracle, formats, writer) stay jax-free at import.
+    if name == "BatchEngine":
+        from .runtime.jax_engine import BatchEngine
+
+        return BatchEngine
+    if name in ("tokenize_stream", "tokenize_reader"):
+        from .runtime import pipeline
+
+        return getattr(pipeline, name)
+    if name == "CorpusRunner":
+        from .runtime.corpus import CorpusRunner
+
+        return CorpusRunner
+    raise AttributeError(f"module 'datok_tpu' has no attribute {name!r}")
+
 __all__ = [
     "Automaton",
     "load_foma_file",
@@ -67,4 +85,8 @@ __all__ = [
     "EV_TEXT",
     "replay_events",
     "format_events",
+    "BatchEngine",
+    "tokenize_stream",
+    "tokenize_reader",
+    "CorpusRunner",
 ]

@@ -66,19 +66,18 @@ def cmd_tokenize(args) -> int:
     w = TokenWriter(flags, out=sys.stdout)
 
     if args.batch:
+        # bounded-memory streaming through the device engine: a
+        # multi-GB file flows chunk by chunk (O(chunk) peak memory),
+        # matching the reference's io.Reader surface (matrix.go:348)
+        from .runtime.jax_engine import BatchEngine
+        from .runtime.pipeline import tokenize_reader
+
+        engine = BatchEngine(tok, accelerated=args.accelerated)
         if args.input == "-":
-            data = sys.stdin.buffer.read()
+            tokenize_reader(tok, sys.stdin.buffer, w, engine=engine)
         else:
             with open(args.input, "rb") as f:
-                data = f.read()
-        from .runtime.pipeline import tokenize_stream
-
-        tokenize_stream(
-            tok,
-            data.decode("utf-8", errors="replace"),
-            w,
-            accelerated=args.accelerated,
-        )
+                tokenize_reader(tok, f, w, engine=engine)
     else:
         # stream with bounded memory (the reference transduces an
         # io.Reader through a ring buffer — cmd/datok.go:108-133)

@@ -1246,6 +1246,20 @@ _CALIBRATION = (
 )
 
 
+# English-centric calibration twin of _CALIBRATION: clitic splitting
+# (n't/'ll/'ve/'re/'s), months, ordinals, honorifics — the EN model's
+# hot machinery (src/en/tokenizer.xfst:1-131).
+_CALIBRATION_EN = (
+    "Don't you think they're ready? We'll've seen it by Jan. 3rd, won't we. "
+    "I'm sure it's Mr. Smith's car — he can't park there, shan't he move it? "
+    "She'd said: \"You mustn't worry\", but we weren't worried at all. "
+    "Prof. Jones et al. published on Feb. 29, 2016 at www.example.com. "
+    "The U.S.A. isn't the U.K.; approx. 50.4% agreed vs. 23% who didn't.\x04\n"
+    "Visit https://en.wikipedia.org/wiki/Token or mail info@example.org asap. "
+    "Cats, dogs etc. cost $4.50 apiece in Oct. — that's a lot, isn't it?\x04"
+)
+
+
 def default_profile_texts(tok) -> List[str]:
     """Calibration corpus for hot-state profiling.
 
@@ -1269,14 +1283,20 @@ def default_profile_texts(tok) -> List[str]:
         )
     except OSError:
         pass
-    for lst in ("dontsplit.txt", "split.txt"):
-        p = os.path.join("/root/reference/testdata/de", lst)
+    for p in (
+        "/root/reference/testdata/de/dontsplit.txt",
+        "/root/reference/testdata/de/split.txt",
+        # EN abbreviation list (346 entries, src/en/tokenizer.xfst) —
+        # without it the EN model's abbreviation trie profiles cold
+        "/root/reference/src/en/abbrv.txt",
+    ):
         try:
             with open(p, encoding="utf-8") as fh:
-                words = [w.strip() for w in fh if w.strip()]
+                words = [w.strip() for w in fh if w.strip() and not w.startswith("#")]
             texts.append(" ".join(words))
         except OSError:
             pass
+    texts.append(_CALIBRATION_EN)
     return texts
 
 

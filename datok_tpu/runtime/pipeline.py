@@ -469,40 +469,136 @@ def events_speculative_batch(
     return events, exit_ctx
 
 
-def tokenize_stream(
-    tok,
+def events_until_checkpoint(
+    engine: BatchEngine,
     text: str,
-    writer: Optional[TokenWriter] = None,
+    entry: int = 1,
+    seg_len: int = 8192,
+    max_lanes: int = 4096,
+):
+    """Device-transduce ``text`` up to its LAST rewind checkpoint.
+
+    The streaming analog of :func:`events_speculative_batch` for one
+    *unterminated* document (no EOT, no EOF yet): every segment — the
+    final one included — cuts cleanly at its end; all segments run as
+    one parallel wave with speculative entries, cuts are verified by
+    rewind-stream convergence, and the machine context checkpointed at
+    the last buffer rewind is returned so the caller can resume when
+    more input arrives (the reference's 1024-rune rewound ring buffer,
+    matrix.go:365-371,608-627, generalized to device waves).
+
+    Returns ``(events, ck_pos, ck_ctx)``: exact events covering
+    ``[0, ck_pos)``, and the packed context at ``ck_pos``.  With no
+    rewind in the whole text (one giant pending token) the checkpoint
+    degenerates to ``([], 0, entry)``.
+    """
+    tok = engine.tok
+
+    def host_tail():
+        # exact bounded fallback: native/oracle walk with its rewind
+        # stream; O(len(text)) once per pathological chunk
+        metas = _full_doc_metas(engine.encoder, text)
+        ev, rw = _cut_walk(tok, text, metas, int(entry), 0, len(text))
+        best = None
+        for pos, ctx, nev in rw:
+            if pos > 0:
+                best = (pos, ctx, nev)
+        if best is None:
+            return [], 0, int(entry)
+        pos, ctx, nev = best
+        evs = list(ev[:nev])
+        while evs and evs[-1][0] == EV_SENT:
+            evs.pop()
+        return evs, pos, ctx
+
+    cuts = list(range(0, len(text), seg_len)) or [0]
+    K = len(cuts)
+    metas = _full_doc_metas(engine.encoder, text) if K > 1 else None
+    entry_ok = (int(entry) >> 30) & 1
+    oks = _stale_ok_at_cuts(engine.encoder, text, cuts, entry_ok)
+    lane_entry = [
+        int(entry) if j == 0 else (1 | (oks[j] << 30)) for j in range(K)
+    ]
+
+    decoded: List = [None] * K
+    bad = np.zeros(K, dtype=bool)
+    state = np.zeros((K, 6), dtype=np.int64)
+    for gi in range(0, K, max_lanes):
+        sl = slice(gi, min(gi + max_lanes, K))
+        seg_texts = [text[c : c + seg_len] for c in cuts[sl]]
+        meta, lengths, _ = engine.encoder.encode_batch(seg_texts)
+        ys, bad_g, n_steps, state_g = engine.run_raw(
+            meta,
+            lengths,
+            entries=np.asarray(lane_entry[sl], dtype=np.int32),
+            stops=np.ones(len(seg_texts), dtype=bool),
+        )
+        decoded[sl] = decode_events_batch_from(ys, n_steps)
+        bad[sl] = np.asarray(bad_g, dtype=bool)
+        state[sl] = np.asarray(state_g)[:, : state.shape[1]]
+
+    if bad.any():
+        return host_tail()
+
+    evs: List = []
+    x_ctx, x_pos = int(entry), 0
+    progressed = False
+    for j in range(K):
+        cut = cuts[j]
+        seg_end = cuts[j + 1] if j + 1 < K else len(text)
+        dec_abs = [(kd, s + cut, e + cut) for kd, s, e in decoded[j]]
+        drop = 0
+        if j > 0:
+            r = _verify_cut(
+                tok, text, x_ctx, x_pos, cut, lane_entry[j], seg_end,
+                metas=metas,
+            )
+            if r is None:
+                return host_tail()
+            true_evs, drop, spec_prefix = r
+            if drop > len(dec_abs) or dec_abs[:drop] != spec_prefix:
+                return host_tail()  # device↔oracle divergence — be exact
+            evs.extend(true_evs)
+        body = dec_abs[drop:]
+        b_exit = int(state[j, 2])
+        if b_exit <= 0:
+            # no rewind inside this segment (pending token spans it):
+            # chained verification across a segment-sized token is not
+            # covered by the verify windows — take the exact host path
+            return host_tail() if j > 0 else ([], 0, int(entry))
+        while body and body[-1][0] == EV_SENT:
+            body.pop()
+        evs.extend(body)
+        x_ctx = int(state[j, 1])
+        x_pos = cut + b_exit
+        progressed = True
+    if not progressed:
+        return [], 0, int(entry)
+    return evs, x_pos, x_ctx
+
+
+def _run_docs(
+    tok,
+    engine: BatchEngine,
+    docs: Sequence[str],
     *,
-    engine: Optional[BatchEngine] = None,
-    accelerated: bool = True,
+    entry: int = 1,
     max_lanes: int = 4096,
     long_strategy: str = "auto",
-) -> TokenWriter:
-    """Tokenize one stream through the batched device engine.
+    as_arrays: bool = False,
+):
+    """Transduce EOT-split documents as parallel lanes, exactly.
 
-    The stream is split at EOT boundaries and transduced as parallel
-    lanes *speculatively* (each chunk assumes root entry).  Exit states
-    are verified against the next chunk's assumed entry: if a model
-    ever leaves a non-root state after an EOT (possible — e.g. EOT can
-    be consumed as an ignorable character), the affected chunks are
-    re-run with the exact chained entry state until the chain is
-    consistent.  This makes splitting exact for *any* model, with the
-    statically-verified root-return property (``eot_split_safe``) as
-    the fast path that skips verification entirely.
-
-    Returns the writer (creating a ``SIMPLE`` one if none given).
+    ``entry`` is the packed machine context the FIRST document starts
+    in (1 = fresh root; a checkpoint ctx when resuming a stream).
+    Returns ``(events_per_doc, exit_ctx_of_last_doc)``.  Speculation +
+    chain repair as described in :func:`tokenize_stream`.
     """
-    w = writer if writer is not None else TokenWriter(SIMPLE)
-
-    if engine is None:
-        engine = BatchEngine(tok, accelerated=accelerated)
-
-    docs = split_documents(text)
     n = len(docs)
-    verified_safe = eot_split_safe(tok)
+    verified_safe = eot_split_safe(tok) and entry == 1
 
     entries = np.ones(n, dtype=np.int32)
+    entries[0] = entry
     events: List = [None] * n
     exits = np.ones(n, dtype=np.int32)
     have = [False] * n
@@ -540,7 +636,7 @@ def tokenize_stream(
                     [docs[k] for k in small],
                     entries=entries[small],
                     return_exits=True,
-                    as_arrays=getattr(w, "feed", None) is not None,
+                    as_arrays=as_arrays,
                 )
                 for k, ev, ex in zip(small, evs, exs):
                     events[k] = ev
@@ -574,7 +670,11 @@ def tokenize_stream(
             if have[k] and exits[k] != entries[k + 1]:
                 entries[k + 1] = exits[k]
                 have[k + 1] = False
+    return events, int(exits[-1]) if n else entry
 
+
+def _replay_docs(docs, events, w) -> None:
+    """Feed per-document event streams through the writer."""
     feed = getattr(w, "feed", None)
     if feed is not None:
         # batch event feed (NativeWriter): one C call per document
@@ -586,4 +686,133 @@ def tokenize_stream(
     else:
         for doc, evs in zip(docs, events):
             replay_events(evs, doc, w)
+
+
+def tokenize_stream(
+    tok,
+    text: str,
+    writer: Optional[TokenWriter] = None,
+    *,
+    engine: Optional[BatchEngine] = None,
+    accelerated: bool = True,
+    max_lanes: int = 4096,
+    long_strategy: str = "auto",
+) -> TokenWriter:
+    """Tokenize one stream through the batched device engine.
+
+    The stream is split at EOT boundaries and transduced as parallel
+    lanes *speculatively* (each chunk assumes root entry).  Exit states
+    are verified against the next chunk's assumed entry: if a model
+    ever leaves a non-root state after an EOT (possible — e.g. EOT can
+    be consumed as an ignorable character), the affected chunks are
+    re-run with the exact chained entry state until the chain is
+    consistent.  This makes splitting exact for *any* model, with the
+    statically-verified root-return property (``eot_split_safe``) as
+    the fast path that skips verification entirely.
+
+    Returns the writer (creating a ``SIMPLE`` one if none given).
+    """
+    w = writer if writer is not None else TokenWriter(SIMPLE)
+
+    if engine is None:
+        engine = BatchEngine(tok, accelerated=accelerated)
+
+    docs = split_documents(text)
+    events, _exit = _run_docs(
+        tok,
+        engine,
+        docs,
+        max_lanes=max_lanes,
+        long_strategy=long_strategy,
+        as_arrays=getattr(w, "feed", None) is not None,
+    )
+    _replay_docs(docs, events, w)
+    return w
+
+
+def tokenize_reader(
+    tok,
+    reader,
+    writer: Optional[TokenWriter] = None,
+    *,
+    engine: Optional[BatchEngine] = None,
+    chunk_bytes: int = 4 << 20,
+    seg_len: int = 8192,
+    max_lanes: int = 4096,
+) -> TokenWriter:
+    """Stream-tokenize a file-like object through the device engine
+    with **bounded memory** — the TPU-batch analog of the reference's
+    ``Transduce(io.Reader, io.Writer)`` (matrix.go:348-371): input
+    flows in ``chunk_bytes`` chunks, each chunk's complete documents
+    run as parallel device lanes, the trailing unterminated document is
+    advanced to its last rewind checkpoint on device
+    (:func:`events_until_checkpoint`), and only the un-checkpointed
+    tail (≤ one pending token + trailing sentence context, bounded by
+    one chunk) is carried forward.  Peak memory is O(chunk), never
+    O(stream).
+
+    ``reader`` may be binary (incremental UTF-8 decode, split
+    multi-byte sequences safe) or text mode.  Output is byte-identical
+    to :func:`tokenize_stream` on the concatenated stream (parity
+    pinned by tests at many chunk sizes).
+    """
+    import codecs
+
+    w = writer if writer is not None else TokenWriter(SIMPLE)
+    if engine is None:
+        engine = BatchEngine(tok)
+
+    dec = codecs.getincrementaldecoder("utf-8")(errors="replace")
+    ctx = 1  # packed machine context carried across chunk boundaries
+    tail = ""
+    processed_any = False
+    while True:
+        data = reader.read(chunk_bytes)
+        at_eof = not data
+        new = (
+            dec.decode(data, final=at_eof)
+            if isinstance(data, bytes)
+            else (data or "")
+        )
+        if at_eof:
+            tail += new
+            break
+        if not new:  # pure UTF-8 continuation bytes
+            continue
+        text = tail + new
+        docs = split_documents(text)
+        # trailing doc is unterminated unless the chunk ended in EOT
+        partial = "" if docs[-1].endswith("\x04") else docs[-1]
+        complete = docs[:-1] if partial or not docs[-1] else docs
+        if complete and any(complete):
+            events, ctx = _run_docs(
+                tok, engine, complete, entry=ctx, max_lanes=max_lanes,
+                as_arrays=getattr(w, "feed", None) is not None,
+            )
+            _replay_docs(complete, events, w)
+            processed_any = True
+        if len(partial) >= 2 * seg_len:
+            evs, ck_pos, ck_ctx = events_until_checkpoint(
+                engine, partial, entry=ctx, seg_len=seg_len,
+                max_lanes=max_lanes,
+            )
+            if evs:
+                _replay_docs([partial[:ck_pos]], [evs], w)
+                processed_any = True
+            tail = partial[ck_pos:]
+            ctx = ck_ctx
+        else:
+            tail = partial
+    # EOF epilogue: the remaining tail runs to completion (implicit
+    # sentence/text ends, matrix.go:637-697). A stream that ended
+    # exactly at an EOT already emitted its ends inside that document —
+    # only a truly empty stream still owes the reference's "\n\n".
+    if tail or not processed_any:
+        docs = split_documents(tail)
+        events, ctx = _run_docs(
+            tok, engine, docs, entry=ctx, max_lanes=max_lanes,
+            as_arrays=getattr(w, "feed", None) is not None,
+        )
+        _replay_docs(docs, events, w)
+    w.flush()
     return w
