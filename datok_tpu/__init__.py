@@ -54,6 +54,10 @@ def __getattr__(name):
         from .runtime import pipeline
 
         return getattr(pipeline, name)
+    if name in ("tokenize_stream_pipelined", "events_pipelined"):
+        from .runtime import overlap
+
+        return getattr(overlap, name)
     if name == "CorpusRunner":
         from .runtime.corpus import CorpusRunner
 

@@ -20,6 +20,7 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -102,6 +103,126 @@ int64_t dt_encode(const uint8_t* data, int64_t n, const int32_t* ascii_tab,
     metas[i] |= r << META_RUN_SHIFT;
   }
   return out;
+}
+
+// Device-feed encoder: dt_encode plus the two engine-coupled fields
+// the legacy entry point lacks — the adaptive skip-class mask
+// (`lc_mask`, 128 bytes; the engine's hot-spec class, which may drop
+// letters like 's' from [a-z]) for the run field, and the symbol
+// CLASS id (`cls_tab`, bits 24..30 of every meta word) the
+// class-compressed kernel fetch reads.  Either may be null (run field
+// falls back to [a-z]; class bits stay 0).  Output metas are valid
+// input for any engine constructed with the same encoder tables.
+static const int META_CLS_SHIFT = 24;
+
+int64_t dt_encode2(const uint8_t* data, int64_t n, const int32_t* ascii_tab,
+                   const int32_t* keys, const int32_t* vals, int64_t n_keys,
+                   int32_t fallback, const uint8_t* lc_mask,
+                   const int32_t* cls_tab, int64_t n_cls, int32_t* cps,
+                   int32_t* metas) {
+  int64_t out = dt_encode(data, n, ascii_tab, keys, vals, n_keys, fallback,
+                          cps, metas);
+  if (lc_mask != nullptr) {
+    // redo the run field under the caller's class
+    int32_t run = 0;
+    const int32_t run_clear = ~((int32_t)META_RUN_MASK << META_RUN_SHIFT);
+    for (int64_t i = out - 1; i >= 0; i--) {
+      uint32_t cp = (uint32_t)cps[i];
+      run = (cp < 128 && lc_mask[cp]) ? run + 1 : 0;
+      int32_t r = run > (int32_t)META_RUN_MASK ? (int32_t)META_RUN_MASK : run;
+      metas[i] = (metas[i] & run_clear) | (r << META_RUN_SHIFT);
+    }
+  }
+  if (cls_tab != nullptr) {
+    for (int64_t i = 0; i < out; i++) {
+      int32_t a = metas[i] & 0xFFFF;
+      int32_t c = (a >= 0 && a < n_cls) ? cls_tab[a] : 0;
+      metas[i] |= c << META_CLS_SHIFT;
+    }
+  }
+  return out;
+}
+
+// Whole-wave encoder: B documents concatenated in `data` at byte
+// offsets `offs[0..B]`, each row encoded straight into the padded
+// device layout `meta_out + i*L` (caller pre-zeroes the pad cells)
+// with its codepoints packed at `cps_out + offs[i]` (codepoint count
+// ≤ byte count, so byte offsets are safe row bounds).  Rows are
+// independent, so the wave is split across `n_threads` OS threads —
+// the ctypes caller releases the GIL, making this the host feeding
+// stage that runs concurrently with the device wave (SURVEY.md §5
+// "communication backend": scaling is bounded by input feeding).
+// Returns 0, or -1 if any row's codepoint count exceeds L.
+int64_t dt_encode_batch(const uint8_t* data, const int64_t* offs, int64_t B,
+                        const int32_t* ascii_tab, const int32_t* keys,
+                        const int32_t* vals, int64_t n_keys, int32_t fallback,
+                        const uint8_t* lc_mask, const int32_t* cls_tab,
+                        int64_t n_cls, int64_t L, int32_t* meta_out,
+                        int32_t* cps_out, int32_t* lengths,
+                        int32_t n_threads);
+
+// Per-row codepoint counts (bytes minus UTF-8 continuation bytes) —
+// the cheap pre-pass that sizes the padded meta wave exactly.
+void dt_cp_lens(const uint8_t* data, const int64_t* offs, int64_t B,
+                int32_t* out) {
+  for (int64_t i = 0; i < B; i++) {
+    int64_t cont = 0;
+    for (int64_t j = offs[i]; j < offs[i + 1]; j++)
+      cont += (data[j] & 0xC0) == 0x80;
+    out[i] = (int32_t)(offs[i + 1] - offs[i] - cont);
+  }
+}
+
+static void encode_rows(const uint8_t* data, const int64_t* offs, int64_t lo,
+                        int64_t hi, const int32_t* ascii_tab,
+                        const int32_t* keys, const int32_t* vals,
+                        int64_t n_keys, int32_t fallback,
+                        const uint8_t* lc_mask, const int32_t* cls_tab,
+                        int64_t n_cls, int64_t L, int32_t* meta_out,
+                        int32_t* cps_out, int32_t* lengths, int* err) {
+  for (int64_t i = lo; i < hi; i++) {
+    int64_t n = offs[i + 1] - offs[i];
+    int64_t out = dt_encode2(data + offs[i], n, ascii_tab, keys, vals,
+                             n_keys, fallback, lc_mask, cls_tab, n_cls,
+                             cps_out + offs[i], meta_out + i * L);
+    if (out > L) {
+      *err = 1;
+      return;
+    }
+    // zero the pad cells so callers can reuse buffers across waves
+    if (out < L)
+      memset(meta_out + i * L + out, 0, (size_t)(L - out) * sizeof(int32_t));
+    lengths[i] = (int32_t)out;
+  }
+}
+
+int64_t dt_encode_batch(const uint8_t* data, const int64_t* offs, int64_t B,
+                        const int32_t* ascii_tab, const int32_t* keys,
+                        const int32_t* vals, int64_t n_keys, int32_t fallback,
+                        const uint8_t* lc_mask, const int32_t* cls_tab,
+                        int64_t n_cls, int64_t L, int32_t* meta_out,
+                        int32_t* cps_out, int32_t* lengths,
+                        int32_t n_threads) {
+  int err = 0;
+  if (n_threads <= 1 || B < 64) {
+    encode_rows(data, offs, 0, B, ascii_tab, keys, vals, n_keys, fallback,
+                lc_mask, cls_tab, n_cls, L, meta_out, cps_out, lengths, &err);
+    return err ? -1 : 0;
+  }
+  std::vector<std::thread> ts;
+  std::vector<int> errs(n_threads, 0);
+  int64_t chunk = (B + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; t++) {
+    int64_t lo = t * chunk, hi = lo + chunk > B ? B : lo + chunk;
+    if (lo >= hi) break;
+    ts.emplace_back(encode_rows, data, offs, lo, hi, ascii_tab, keys, vals,
+                    n_keys, fallback, lc_mask, cls_tab, n_cls, L, meta_out,
+                    cps_out, lengths, &errs[t]);
+  }
+  for (auto& th : ts) th.join();
+  for (int e : errs)
+    if (e) return -1;
+  return 0;
 }
 
 // ---------------------------------------------------------------------------

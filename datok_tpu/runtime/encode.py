@@ -71,6 +71,7 @@ class SymbolEncoder:
         self.keys = np.array([k for k, _ in nonascii], dtype=np.int32)
         self.vals = np.array([v for _, v in nonascii], dtype=np.int32)
         self.fallback = self.identity if self.identity != -1 else 0
+        self._lc_mask_u8 = None  # cached u8 view for the native encoder
 
     def encode(self, cp: np.ndarray) -> np.ndarray:
         """codepoints (…,) int32 → packed meta (…,) int32."""
@@ -112,8 +113,20 @@ class SymbolEncoder:
         """Pad a batch of texts to a common length.
 
         Returns (meta[B, L] int32, lengths[B] int32, codepoint arrays).
+        Rides the native encoder (dt_encode2, ~240 MB/s/core, GIL
+        released) when available; the pure-numpy per-text path is the
+        fallback and the parity oracle (tests pin bit-identity).
         """
+        try:
+            from ..utils.native import native_encode_wave
+
+            r = native_encode_wave(self, texts, pad_to=pad_to)
+        except ImportError:
+            r = None
+        if r is not None:
+            return r
         cps = [text_to_codepoints(t) for t in texts]
+        metas = [self.encode(c) for c in cps]
         lengths = np.array([len(c) for c in cps], dtype=np.int32)
         L = max(1, int(lengths.max()) if len(cps) else 1)
         if pad_to is not None:
@@ -121,7 +134,7 @@ class SymbolEncoder:
                 raise ValueError(f"text length {L} exceeds pad_to {pad_to}")
             L = pad_to
         meta = np.zeros((len(cps), L), dtype=np.int32)
-        for i, c in enumerate(cps):
-            if len(c):
-                meta[i, : len(c)] = self.encode(c)
+        for i, m in enumerate(metas):
+            if len(m):
+                meta[i, : len(m)] = m
         return meta, lengths, cps

@@ -1194,6 +1194,51 @@ def _run_machine_hot(
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _compact_ys(ys, S):
+    """Device-side event compaction: (max_steps, B) → (B, S) dense.
+
+    The step-indexed event buffer is mostly zeros (one slot per machine
+    step, ~0.3 events/char emitted); a stable sort per lane moves the
+    events to the front *in step order*, so only ``counts.max()`` rows
+    ever cross the device↔host link — on the dev tunnel (and on PCIe at
+    production scale) that link is the end-to-end bottleneck, and this
+    cuts its traffic ~4× (SURVEY.md §7.3 item 5: variable-length output
+    from fixed-shape compute).
+    """
+    sub = ys[:S]
+    key = (sub == 0).astype(jnp.int32)  # events first, zeros last
+    _, srt = jax.lax.sort((key, sub), dimension=0, is_stable=True,
+                          num_keys=1)
+    counts = (sub != 0).sum(axis=0, dtype=jnp.int32)
+    return jnp.transpose(srt), counts
+
+
+def decode_events_compact(ev, counts, as_arrays: bool = False) -> List:
+    """Decode compacted (B, E) event rows (see ``_compact_ys``)."""
+    ev = np.asarray(ev)
+    counts = np.asarray(counts)
+    E = ev.shape[1]
+    mask = np.arange(E, dtype=np.int32)[None, :] < counts[:, None]
+    flat = ev[mask].astype(np.uint32)  # row-major → per-lane step order
+    tri = np.empty((len(flat), 3), dtype=np.int32)
+    tri[:, 0] = flat & 3
+    tri[:, 1] = (flat >> 2) & PACK_POS_MASK
+    tri[:, 2] = (flat >> (2 + PACK_POS_BITS)) & PACK_POS_MASK
+    out = []
+    off = 0
+    if as_arrays:
+        for n in counts.tolist():
+            out.append(tri[off : off + n])
+            off += n
+        return out
+    trl = [tuple(r) for r in tri.tolist()]
+    for n in counts.tolist():
+        out.append(trl[off : off + n])
+        off += n
+    return out
+
+
 def decode_events_batch(
     ys: np.ndarray, n_steps: int, as_arrays: bool = False
 ) -> List:
@@ -1633,6 +1678,41 @@ class BatchEngine:
             n_steps,
             np.asarray(state),
         )
+
+    def run_events_compact(
+        self,
+        meta,
+        lengths,
+        entries: Optional[np.ndarray] = None,
+        stops: Optional[np.ndarray] = None,
+    ):
+        """Run the device machine and fetch *compacted* events.
+
+        Returns ``(ev[B, E] u32, counts[B], bad[B], state)`` numpy
+        arrays, with ``E`` the smallest power-of-two bucket holding the
+        fullest lane (bucketing bounds recompiles of the compaction
+        jit).  The device→host link moves only the compacted rows —
+        the honest end-to-end path (overlap.py) and any PCIe-bound
+        production host want this, not the raw (steps, B) buffer.
+        """
+        ys, bad, steps, state = self.run_raw_device(
+            meta, lengths, entries, stops
+        )
+        n_steps = int(steps)
+        # static step bucket for the compaction jit
+        S = 256
+        while S < n_steps:
+            S *= 2
+        S = min(S, ys.shape[0])
+        ev_T, counts_d = _compact_ys(ys, S)
+        counts = np.asarray(counts_d)
+        cmax = int(counts.max()) if counts.size else 0
+        E = 32
+        while E < cmax:
+            E *= 2
+        E = min(E, S)
+        ev = np.asarray(ev_T[:, :E])
+        return ev, counts, np.asarray(bad), np.asarray(state)
 
     def events_batch(
         self,

@@ -131,6 +131,60 @@ def eot_split_safe(tok) -> bool:
     return safe
 
 
+# Packed context flag bits (oracle.py entry layout): after an EOT the
+# machine has emitted both the sentence and the text end, so the
+# canonical post-EOT context is root + both flags (+ the stale-ok bit
+# carried from the last non-ASCII codepoint seen, matrix.go:421-435).
+SPLIT_FLAGS = (1 << 28) | (1 << 29)
+
+
+def _stale_ok_after(encoder, doc: str, ok: int) -> int:
+    """Stale-``ok`` register value after transducing ``doc``.
+
+    The reference reassigns ``ok`` only on the non-ASCII symbol path,
+    so the exit value is "was the last codepoint ≥ 256 in sigma",
+    falling back to the entry value for pure-ASCII documents.
+    """
+    if doc.isascii():
+        return ok
+    # scan a bounded tail in Python (non-ASCII is dense in real text);
+    # fall back to a vectorized full scan for pathological tails
+    tail = doc[-4096:]
+    for ch in reversed(tail):
+        if ord(ch) >= 256:
+            keys = encoder.keys
+            i = int(np.searchsorted(keys, ord(ch)))
+            return int(i < len(keys) and keys[i] == ord(ch))
+    if len(doc) > len(tail):
+        return _stale_ok_at_cuts(encoder, doc, [len(doc)], ok)[0]
+    return ok
+
+
+def predict_entries(encoder, docs: Sequence[str], entry: int = 1):
+    """Predicted packed entry contexts for an EOT-split document list.
+
+    Every non-final document ends in EOT, after which a conforming
+    model sits at the root with both end flags set and the chained
+    stale-``ok`` bit — dispatching successors with THIS context (not
+    bare root) makes the speculative chain verify on the first round
+    for ordinary corpora, where bare-root speculation forced a second
+    pass for every document.  Exactness is unchanged: the caller still
+    verifies real exits against these predictions and repairs
+    mismatches (e.g. models whose EOT arcs don't return to the root).
+
+    Returns ``(entries[n] int32, next_entry)`` — the context predicted
+    after the final document (for cross-wave chaining).
+    """
+    n = len(docs)
+    ents = np.empty(n, dtype=np.int32)
+    cur = int(entry)
+    for k, doc in enumerate(docs):
+        ents[k] = cur
+        ok = _stale_ok_after(encoder, doc, (cur >> 30) & 1)
+        cur = 1 | SPLIT_FLAGS | (ok << 30)
+    return ents, cur
+
+
 def events_long_batch(
     engine: BatchEngine,
     docs: Sequence[str],
@@ -597,8 +651,10 @@ def _run_docs(
     n = len(docs)
     verified_safe = eot_split_safe(tok) and entry == 1
 
-    entries = np.ones(n, dtype=np.int32)
-    entries[0] = entry
+    # speculative entries: predicted post-EOT contexts (root + end
+    # flags + chained stale-ok) — these verify on the first round for
+    # ordinary corpora; bare-root speculation re-ran every document
+    entries, _ = predict_entries(engine.encoder, docs, entry=entry)
     events: List = [None] * n
     exits = np.ones(n, dtype=np.int32)
     have = [False] * n

@@ -43,7 +43,8 @@ def _build() -> str | None:
         return so
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", so, _SRC],
+            ["g++", "-O3", "-march=native", "-pthread", "-shared", "-fPIC",
+             "-o", so, _SRC],
             check=True,
             capture_output=True,
         )
@@ -71,6 +72,20 @@ def get_lib():
         lib.dt_encode.argtypes = [
             i8p, ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int64,
             ctypes.c_int32, i32p, i32p,
+        ]
+        lib.dt_encode2.restype = ctypes.c_int64
+        lib.dt_encode2.argtypes = [
+            i8p, ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int32, i8p, i32p, ctypes.c_int64, i32p, i32p,
+        ]
+        i64p0 = ctypes.POINTER(ctypes.c_int64)
+        lib.dt_cp_lens.restype = None
+        lib.dt_cp_lens.argtypes = [i8p, i64p0, ctypes.c_int64, i32p]
+        lib.dt_encode_batch.restype = ctypes.c_int64
+        lib.dt_encode_batch.argtypes = [
+            i8p, i64p0, ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int32, i8p, i32p, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, i32p, ctypes.c_int32,
         ]
         lib.dt_transduce.restype = ctypes.c_int64
         lib.dt_transduce.argtypes = [
@@ -112,16 +127,18 @@ def _ptr(a, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-def native_encode(encoder, data: bytes):
+def native_encode(encoder, data: bytes, device: bool = False):
     """UTF-8 bytes → (codepoints, metas) via the native library.
 
     Returns None if the library is unavailable.
 
-    ``dt_encode`` does not stamp the symbol CLASS bits (meta bits
-    24..30, encode.py): its metas feed the host-side scalar walks
-    (which read only the symbol/flag/run fields), never the
-    class-compressed device kernel — use ``encoder.encode_batch`` for
-    device input.
+    The default (``device=False``) metas feed the host-side scalar
+    walks, which read only the symbol/flag fields and the default
+    ``[a-z]`` run class.  ``device=True`` additionally stamps the
+    engine-coupled fields — the encoder's adaptive skip-class run
+    lengths and the symbol CLASS bits (meta bits 24..30, encode.py) —
+    so the output is valid input for the class-compressed device
+    kernel, bit-identical to ``encoder.encode``.
     """
     lib = get_lib()
     if lib is None:
@@ -133,14 +150,131 @@ def native_encode(encoder, data: bytes):
     ascii_tab = np.ascontiguousarray(encoder.ascii_tab, dtype=np.int32)
     keys = np.ascontiguousarray(encoder.keys, dtype=np.int32)
     vals = np.ascontiguousarray(encoder.vals, dtype=np.int32)
-    out = lib.dt_encode(
-        _ptr(buf, ctypes.c_uint8), n,
-        _ptr(ascii_tab, ctypes.c_int32),
-        _ptr(keys, ctypes.c_int32), _ptr(vals, ctypes.c_int32), len(keys),
-        encoder.fallback,
-        _ptr(cps, ctypes.c_int32), _ptr(metas, ctypes.c_int32),
-    )
+    if device:
+        lc = encoder._lc_mask_u8
+        if lc is None:
+            lc = encoder._lc_mask_u8 = np.ascontiguousarray(
+                encoder.lc_mask, dtype=np.uint8
+            )
+        cls_tab = encoder.cls_tab
+        out = lib.dt_encode2(
+            _ptr(buf, ctypes.c_uint8), n,
+            _ptr(ascii_tab, ctypes.c_int32),
+            _ptr(keys, ctypes.c_int32), _ptr(vals, ctypes.c_int32),
+            len(keys), encoder.fallback,
+            _ptr(lc, ctypes.c_uint8),
+            (
+                _ptr(cls_tab, ctypes.c_int32)
+                if cls_tab is not None
+                else None
+            ),
+            0 if cls_tab is None else len(cls_tab),
+            _ptr(cps, ctypes.c_int32), _ptr(metas, ctypes.c_int32),
+        )
+    else:
+        out = lib.dt_encode(
+            _ptr(buf, ctypes.c_uint8), n,
+            _ptr(ascii_tab, ctypes.c_int32),
+            _ptr(keys, ctypes.c_int32), _ptr(vals, ctypes.c_int32), len(keys),
+            encoder.fallback,
+            _ptr(cps, ctypes.c_int32), _ptr(metas, ctypes.c_int32),
+        )
     return cps[:out], metas[:out]
+
+
+def _encoder_tables(encoder):
+    """Contiguous C views of an encoder's tables, cached on it."""
+    t = getattr(encoder, "_native_tabs", None)
+    if t is None:
+        t = (
+            np.ascontiguousarray(encoder.ascii_tab, dtype=np.int32),
+            np.ascontiguousarray(encoder.keys, dtype=np.int32),
+            np.ascontiguousarray(encoder.vals, dtype=np.int32),
+            np.ascontiguousarray(encoder.lc_mask, dtype=np.uint8),
+            (
+                None
+                if encoder.cls_tab is None
+                else np.ascontiguousarray(encoder.cls_tab, dtype=np.int32)
+            ),
+        )
+        encoder._native_tabs = t
+    return t
+
+
+def _scratch_i32(scratch, key, n):
+    """Reusable int32 buffer from a caller-held pool (page-fault
+    amortization across waves); fresh allocation when no pool."""
+    if scratch is None:
+        return np.empty(n, dtype=np.int32)
+    buf = scratch.get(key)
+    if buf is None or buf.size < n:
+        buf = np.empty(int(n * 1.25) + 64, dtype=np.int32)
+        scratch[key] = buf
+    return buf[:n]
+
+
+def native_encode_wave(encoder, texts, pad_to=None, threads=None,
+                       scratch=None):
+    """Encode a whole wave of texts into the padded device layout.
+
+    One GIL-releasing, internally-threaded C call per wave
+    (``dt_encode_batch``; pad cells zeroed row-wise in C).  Returns
+    ``(meta[B, L], lengths[B], cps)`` matching
+    ``SymbolEncoder.encode_batch`` bit for bit, or None when the
+    native library is unavailable.  ``scratch``: optional dict a
+    pipelined caller passes to reuse the meta/cps buffers across waves
+    (fresh 100+ MB allocations cost more in page faults than the
+    encode itself).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    if threads is None:
+        threads = min(os.cpu_count() or 1, 8)
+    datas = [t.encode("utf-8", "surrogatepass") for t in texts]
+    B = len(datas)
+    offs = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in datas], out=offs[1:])
+    total = int(offs[-1])
+    data = b"".join(datas)
+    buf = (
+        np.frombuffer(data, dtype=np.uint8)
+        if total
+        else np.zeros(1, dtype=np.uint8)
+    )
+    # exact per-row codepoint count = bytes minus UTF-8 continuation
+    # bytes — lets the meta array be allocated at its final width
+    cp_lens = np.empty(max(B, 1), dtype=np.int32)
+    lib.dt_cp_lens(
+        _ptr(buf, ctypes.c_uint8), _ptr(offs, ctypes.c_int64), B,
+        _ptr(cp_lens, ctypes.c_int32),
+    )
+    L = max(1, int(cp_lens[:B].max()) if B else 1)
+    if pad_to is not None:
+        if L > pad_to:
+            raise ValueError(f"text length {L} exceeds pad_to {pad_to}")
+        L = pad_to
+    meta = _scratch_i32(scratch, "meta", B * L).reshape(B, L)
+    cps_flat = _scratch_i32(scratch, "cps", max(total, 1))
+    lengths = np.empty(B, dtype=np.int32)
+    at, keys, vals, lc, cls_tab = _encoder_tables(encoder)
+    rc = lib.dt_encode_batch(
+        _ptr(buf, ctypes.c_uint8), _ptr(offs, ctypes.c_int64), B,
+        _ptr(at, ctypes.c_int32), _ptr(keys, ctypes.c_int32),
+        _ptr(vals, ctypes.c_int32), len(keys), encoder.fallback,
+        _ptr(lc, ctypes.c_uint8),
+        None if cls_tab is None else _ptr(cls_tab, ctypes.c_int32),
+        0 if cls_tab is None else len(cls_tab),
+        L, _ptr(meta, ctypes.c_int32),
+        _ptr(cps_flat, ctypes.c_int32), _ptr(lengths, ctypes.c_int32),
+        threads,
+    )
+    if rc != 0:
+        return None
+    cps = [
+        cps_flat[offs[i] : offs[i] + int(lengths[i])] for i in range(B)
+    ]
+    return meta, lengths, cps
 
 
 def native_da_build(auto):
