@@ -735,6 +735,23 @@ void dt_writer_feed(DtWriter* w, const int32_t* ev, int64_t nev,
   }
 }
 
+// Replay a whole wave of documents in one call: events for document i
+// are `ev_counts[i]` consecutive triples in `ev`; its codepoints sit
+// at `cps + cps_offs[i]` with length `cps_lens[i]`.  One GIL-releasing
+// call per wave replaces tens of thousands of per-document calls in
+// the overlapped pipeline's formatting stage.
+void dt_writer_feed_wave(DtWriter* w, const int32_t* ev,
+                         const int32_t* ev_counts, int64_t n_docs,
+                         const int32_t* cps, const int64_t* cps_offs,
+                         const int32_t* cps_lens) {
+  int64_t off = 0;
+  for (int64_t i = 0; i < n_docs; i++) {
+    dt_writer_feed(w, ev + off * 3, ev_counts[i], cps + cps_offs[i],
+                   cps_lens[i]);
+    off += ev_counts[i];
+  }
+}
+
 int64_t dt_writer_size(DtWriter* w) { return (int64_t)w->out.size(); }
 void dt_writer_copy(DtWriter* w, uint8_t* dst) {
   memcpy(dst, w->out.data(), w->out.size());

@@ -15,7 +15,6 @@ import os
 import tempfile
 from typing import Sequence
 
-from .pipeline import tokenize_stream
 from .writer import SIMPLE, TokenWriter
 
 
@@ -67,13 +66,29 @@ class CorpusRunner:
         base = os.path.basename(path)
         return os.path.join(self.out_dir, base + ".tok")
 
-    def run(self, files: Sequence[str], verbose: bool = False) -> dict:
-        """Process files, skipping ones already completed.  Returns stats."""
+    def run(self, files: Sequence[str], verbose: bool = False,
+            stats: dict | None = None) -> dict:
+        """Process files, skipping ones already completed.  Returns stats.
+
+        All pending files flow through ONE overlapped device pipeline
+        (:func:`overlap.waves_pipelined`): documents from different
+        files share waves, so small files no longer pay a whole
+        device round-trip each, and encode ∥ device ∥ format overlap
+        spans the corpus, not one file.  Each file's documents are
+        tagged with the file index and start a fresh entry chain
+        (``stream_start``), exactly as a per-file transduce would.
+        """
         if self.engine is None:
             from .jax_engine import BatchEngine
 
             self.engine = BatchEngine(self.tok)
-        done = skipped = bytes_in = bytes_out = 0
+        import numpy as np
+
+        from .overlap import waves_pipelined
+        from .pipeline import split_documents
+
+        skipped = 0
+        pending = []  # (path, text, src_hash, n_bytes)
         for path in files:
             with open(path, "rb") as f:
                 data = f.read()
@@ -81,29 +96,88 @@ class CorpusRunner:
             if self._done(path, src_hash):
                 skipped += 1
                 continue
-            text = data.decode("utf-8", errors="replace")
-            w = self._writer()
-            tokenize_stream(self.tok, text, w, engine=self.engine)
+            pending.append(
+                (path, data.decode("utf-8", errors="replace"),
+                 src_hash, len(data))
+            )
+
+        def items():
+            for fi, (_path, text, _h, _n) in enumerate(pending):
+                for j, d in enumerate(split_documents(text)):
+                    yield (fi, d, j == 0)
+
+        state = {"fi": -1, "w": None, "done": 0, "out": 0}
+
+        def finish():
+            fi, w = state["fi"], state["w"]
+            if fi < 0:
+                return
+            w.flush()
             out = w.getvalue().encode("utf-8")
+            path, _text, src_hash, n_in = pending[fi]
             with open(self.out_path(path), "wb") as f:
                 f.write(out)
             self.manifest["files"][path] = {
                 "src": src_hash,
                 "out": _sha(out),
-                "bytes_in": len(data),
+                "bytes_in": n_in,
                 "bytes_out": len(out),
                 "ok": True,
             }
             self._save_manifest()
-            done += 1
-            bytes_in += len(data)
-            bytes_out += len(out)
             if verbose:
-                print(f"done {path} ({len(data)} -> {len(out)} bytes)")
+                print(f"done {path} ({n_in} -> {len(out)} bytes)")
+            state["fi"], state["w"] = -1, None
+            state["done"] += 1
+            state["out"] += len(out)
+
+        for wave in waves_pipelined(self.engine, items(), stats=stats):
+            offs = np.zeros(len(wave.counts) + 1, dtype=np.int64)
+            np.cumsum(wave.counts, out=offs[1:])
+            k = 0
+            while k < len(wave.docs):
+                fi = wave.tags[k]
+                k2 = k
+                while k2 < len(wave.docs) and wave.tags[k2] == fi:
+                    k2 += 1
+                if fi != state["fi"]:
+                    finish()
+                    state["fi"], state["w"] = fi, self._writer()
+                w = state["w"]
+                feed_wave = getattr(w, "feed_wave", None)
+                if feed_wave is not None:
+                    feed_wave(
+                        wave.tri[offs[k] : offs[k2]],
+                        wave.counts[k:k2],
+                        wave.cps_flat,
+                        wave.cps_offs[k:k2],
+                        wave.cps_lens[k:k2],
+                    )
+                else:
+                    from .events import replay_events
+
+                    for j in range(k, k2):
+                        evs = wave.tri[offs[j] : offs[j + 1]]
+                        feed = getattr(w, "feed", None)
+                        if feed is not None:
+                            feed(
+                                evs,
+                                wave.cps_flat[
+                                    wave.cps_offs[j] :
+                                    wave.cps_offs[j] + wave.cps_lens[j]
+                                ],
+                            )
+                        else:
+                            replay_events(
+                                [tuple(r) for r in evs.tolist()],
+                                wave.docs[j], w,
+                            )
+                k = k2
+        finish()
         return {
-            "done": done,
+            "done": state["done"],
             "skipped": skipped,
             "total": len(files),
-            "bytes_in": bytes_in,
-            "bytes_out": bytes_out,
+            "bytes_in": sum(p[3] for p in pending),
+            "bytes_out": state["out"],
         }

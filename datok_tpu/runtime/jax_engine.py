@@ -1214,8 +1214,12 @@ def _compact_ys(ys, S):
     return jnp.transpose(srt), counts
 
 
-def decode_events_compact(ev, counts, as_arrays: bool = False) -> List:
-    """Decode compacted (B, E) event rows (see ``_compact_ys``)."""
+def decode_events_flat(ev, counts):
+    """Decode compacted (B, E) event rows to ONE flat (N, 3) array.
+
+    Lane i's events are the ``counts[i]`` consecutive triples starting
+    at ``counts[:i].sum()`` — the zero-copy wave layout the native
+    writer replays in a single call (``dt_writer_feed_wave``)."""
     ev = np.asarray(ev)
     counts = np.asarray(counts)
     E = ev.shape[1]
@@ -1225,6 +1229,12 @@ def decode_events_compact(ev, counts, as_arrays: bool = False) -> List:
     tri[:, 0] = flat & 3
     tri[:, 1] = (flat >> 2) & PACK_POS_MASK
     tri[:, 2] = (flat >> (2 + PACK_POS_BITS)) & PACK_POS_MASK
+    return tri, counts
+
+
+def decode_events_compact(ev, counts, as_arrays: bool = False) -> List:
+    """Decode compacted (B, E) event rows (see ``_compact_ys``)."""
+    tri, counts = decode_events_flat(ev, counts)
     out = []
     off = 0
     if as_arrays:

@@ -20,6 +20,12 @@ slots: a wave's encode buffers are reused only after its results are
 consumed, so the 100+ MB meta arrays are page-faulted once per run,
 not once per wave.
 
+The core generator is **wave-level** (:func:`waves_pipelined`): one
+flat event array + per-doc counts + the flat codepoint layout per
+wave, so the native writer can replay a whole wave in ONE C call
+(``dt_writer_feed_wave``) instead of one per document.
+:func:`events_pipelined` is the per-document convenience wrapper.
+
 Exactness: every document is dispatched speculatively from the root
 context (the reference semantics after an EOT, matrix.go:593-605).
 For models where EOT provably returns to the root
@@ -37,43 +43,84 @@ from __future__ import annotations
 
 import queue
 import threading
+import time as _time
 from typing import Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from .jax_engine import MAX_SEGMENT, BatchEngine, decode_events_compact
+from .jax_engine import (
+    MAX_SEGMENT,
+    BatchEngine,
+    decode_events_flat,
+)
 from .oracle import transduce_events_fast
 from .writer import SIMPLE, TokenWriter
 
 
 class _Wave:
-    __slots__ = ("tags", "docs", "cps", "handles", "slot", "events",
-                 "exits", "entries")
+    __slots__ = ("tags", "docs", "handles", "slot", "events",
+                 "exits", "entries", "breaks")
 
-    def __init__(self, tags, docs, cps, handles, slot, entries,
+    def __init__(self, tags, docs, handles, slot, entries, breaks,
                  events=None, exits=None):
         self.tags = tags
         self.docs = docs
-        self.cps = cps
         self.handles = handles  # (ev_T, counts, bad, state) device arrays
         self.slot = slot
         self.entries = entries  # dispatched (predicted) entry contexts
+        self.breaks = breaks  # per-doc stream-start markers
         self.events = events  # precomputed (long-doc path)
         self.exits = exits  # precomputed exit contexts (long-doc path)
 
 
+class WaveResult:
+    """One consumed wave: flat events + flat codepoints, repair-exact.
+
+    ``tri``: (N, 3) int32 — the concatenation of every document's
+    event triples (kind, pos_a, pos_b), document-relative positions;
+    document k owns ``counts[k]`` consecutive rows.  ``cps_flat`` /
+    ``cps_offs`` / ``cps_lens`` give document k's codepoints at
+    ``cps_flat[cps_offs[k] : cps_offs[k] + cps_lens[k]]``.
+
+    ``cps_flat`` may be a view of a reused encode scratch buffer: it
+    is valid only until the generator is advanced again (the slot
+    returns to the ring when the consumer resumes it).  Format first,
+    then ``next()``.
+    """
+
+    __slots__ = ("tags", "docs", "tri", "counts",
+                 "cps_flat", "cps_offs", "cps_lens")
+
+    def __init__(self, tags, docs, tri, counts, cps_flat, cps_offs,
+                 cps_lens):
+        self.tags = tags
+        self.docs = docs
+        self.tri = tri
+        self.counts = counts
+        self.cps_flat = cps_flat
+        self.cps_offs = cps_offs
+        self.cps_lens = cps_lens
+
+
 def _assemble(items, lanes, max_wave_chars):
-    """Group (tag, doc) items into waves; oversize docs go alone."""
+    """Group items into waves; oversize docs go alone.
+
+    Items are ``(tag, doc)`` pairs or ``(tag, doc, stream_start)``
+    triples — a true third element marks the document as the first of
+    a NEW stream (fresh root entry, e.g. a new corpus file) instead of
+    chaining from its predecessor."""
     batch: List = []
     chars = 0
-    for tag, doc in items:
+    for it in items:
+        tag, doc = it[0], it[1]
+        brk = bool(it[2]) if len(it) > 2 else False
         if len(doc) > MAX_SEGMENT:
             if batch:
                 yield ("wave", batch)
                 batch, chars = [], 0
-            yield ("long", [(tag, doc)])
+            yield ("long", [(tag, doc, brk)])
             continue
-        batch.append((tag, doc))
+        batch.append((tag, doc, brk))
         chars += max(len(doc), 1)
         if len(batch) >= lanes or chars >= max_wave_chars:
             yield ("wave", batch)
@@ -82,7 +129,23 @@ def _assemble(items, lanes, max_wave_chars):
         yield ("wave", batch)
 
 
-def events_pipelined(
+def _splice(tri, counts, repl):
+    """Replace document k's event rows with ``repl[k]`` (host repairs)."""
+    offs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    parts = []
+    new_counts = np.asarray(counts, dtype=np.int32).copy()
+    for k in range(len(counts)):
+        if k in repl:
+            parts.append(repl[k])
+            new_counts[k] = len(repl[k])
+        else:
+            parts.append(tri[offs[k] : offs[k + 1]])
+    tri2 = np.concatenate(parts) if parts else tri[:0]
+    return np.ascontiguousarray(tri2), new_counts
+
+
+def waves_pipelined(
     engine: BatchEngine,
     items: Iterable[Tuple[object, str]],
     *,
@@ -90,18 +153,26 @@ def events_pipelined(
     slots: int = 3,
     max_wave_chars: int = 32 << 20,
     long_seg_len: int = 8192,
-) -> Iterator[Tuple[object, str, np.ndarray]]:
-    """Yield ``(tag, doc, events[N,3] int32)`` in input order.
+    stats: Optional[dict] = None,
+) -> Iterator[WaveResult]:
+    """Yield :class:`WaveResult` per wave, in input order.
 
     ``items`` yields ``(tag, doc)`` pairs (the tag is passed through —
     callers use it to route output, e.g. a corpus file index).  Event
     positions are document-relative.  The generator owns a prep
     thread; closing it (``.close()``) or exhausting it joins the
     thread.
+
+    ``stats``: optional dict, filled with cumulative per-stage wall
+    seconds (``encode``, ``dispatch``, ``fetch``, ``decode``), wave
+    and document counts, and ``repairs`` (host chain-repair count) —
+    the observability the stage-overlap design needs (a stage whose
+    time approaches total wall is the new bottleneck).
     """
-    import jax
+    import jax  # noqa: F401  (device backend init)
     import jax.numpy as jnp
 
+    from .encode import text_to_codepoints
     from .jax_engine import _compact_ys
     from .pipeline import events_speculative_batch, predict_entries
 
@@ -116,6 +187,11 @@ def events_pipelined(
         free.put({})  # scratch dict per slot
     stop = threading.Event()
     err: List[BaseException] = []
+    st = stats if stats is not None else {}
+    for k in ("encode", "dispatch", "fetch", "decode"):
+        st.setdefault(k, 0.0)
+    for k in ("waves", "docs", "repairs", "long_docs"):
+        st.setdefault(k, 0)
 
     def prep():
         pred = 1  # prep-side predicted entry chain (host, cheap)
@@ -123,10 +199,11 @@ def events_pipelined(
             for kind, batch in _assemble(items, lanes, max_wave_chars):
                 if stop.is_set():
                     return
-                tags = [t for t, _ in batch]
-                docs = [d for _, d in batch]
+                tags = [t for t, _, _ in batch]
+                docs = [d for _, d, _ in batch]
+                breaks = [b for _, _, b in batch]
                 entries, pred = predict_entries(
-                    engine.encoder, docs, entry=pred
+                    engine.encoder, docs, entry=pred, breaks=breaks
                 )
                 if kind == "long":
                     # giant document: exact speculative segmentation
@@ -139,12 +216,14 @@ def events_pipelined(
                         np.asarray(e, dtype=np.int32).reshape(-1, 3)
                         for e in evs
                     ]
-                    q.put(_Wave(tags, docs, None, None, None, entries,
-                                events=evs, exits=exits))
+                    st["long_docs"] += len(docs)
+                    q.put(_Wave(tags, docs, None, None, entries,
+                                breaks, events=evs, exits=exits))
                     continue
                 slot = free.get()  # backpressure: ring of reusable slots
                 if stop.is_set():
                     return
+                t0 = _time.time()
                 r = (
                     native_encode_wave(
                         engine.encoder, docs, scratch=slot
@@ -153,21 +232,43 @@ def events_pipelined(
                     else None
                 )
                 if r is None:
+                    slot.pop("cps_offs", None)  # not flat-laid-out
                     r = engine.encoder.encode_batch(docs)
                 meta, lengths, cps = r
+                if "cps_offs" in slot:
+                    cps_layout = (slot["cps"], slot["cps_offs"], lengths)
+                else:
+                    offs = np.zeros(len(cps), dtype=np.int64)
+                    if len(cps) > 1:
+                        np.cumsum(
+                            [len(c) for c in cps[:-1]], out=offs[1:]
+                        )
+                    flat = (
+                        np.concatenate(cps)
+                        if cps
+                        else np.zeros(0, dtype=np.int32)
+                    )
+                    cps_layout = (
+                        flat, offs,
+                        np.asarray([len(c) for c in cps],
+                                   dtype=np.int32),
+                    )
+                st["encode"] += _time.time() - t0
+                t0 = _time.time()
                 meta_d = jnp.asarray(meta)
                 ys, bad, steps, state = engine.run_raw_device(
                     meta_d, lengths, entries=entries
                 )
-                n_steps = int(steps)
-                S = 256
-                while S < n_steps:
-                    S *= 2
-                S = min(S, ys.shape[0])
-                ev_T, counts = _compact_ys(ys, S)
+                # compact at the static step bound: reading the actual
+                # step count here would SYNC the prep thread on the
+                # device run and destroy the overlap
+                ev_T, counts = _compact_ys(ys, ys.shape[0])
+                st["dispatch"] += _time.time() - t0
+                st["waves"] += 1
                 q.put(
-                    _Wave(tags, docs, cps, (ev_T, counts, bad, state),
-                          slot, entries)
+                    _Wave(tags, docs,
+                          (ev_T, counts, bad, state, cps_layout),
+                          slot, entries, breaks)
                 )
         except BaseException as e:  # surfaced by the consumer
             err.append(e)
@@ -187,48 +288,92 @@ def events_pipelined(
                     raise err[0]
                 break
             if wave.events is not None:  # precomputed long docs
-                for k, (tag, doc) in enumerate(zip(wave.tags, wave.docs)):
-                    evs = wave.events[k]
+                repl = {}
+                for k, doc in enumerate(wave.docs):
+                    if wave.breaks[k]:
+                        entry = 1  # fresh stream: root by definition
                     if entry != int(wave.entries[k]):
+                        st["repairs"] += 1
                         box: List[int] = []
                         ev_l = transduce_events_fast(
                             engine.tok, doc, entry_state=int(entry),
                             exit_box=box,
                         )
-                        evs = np.asarray(ev_l, dtype=np.int32).reshape(-1, 3)
+                        repl[k] = np.asarray(
+                            ev_l, dtype=np.int32
+                        ).reshape(-1, 3)
                         entry = box[0] if box else 1
                     else:
                         entry = int(wave.exits[k])
-                    yield tag, doc, evs
+                evs = [repl.get(k, e) for k, e in enumerate(wave.events)]
+                tri = (
+                    np.concatenate(evs)
+                    if evs
+                    else np.zeros((0, 3), dtype=np.int32)
+                )
+                counts = np.asarray([len(e) for e in evs],
+                                    dtype=np.int32)
+                cps_l = [text_to_codepoints(d) for d in wave.docs]
+                offs = np.zeros(len(cps_l), dtype=np.int64)
+                if len(cps_l) > 1:
+                    np.cumsum([len(c) for c in cps_l[:-1]], out=offs[1:])
+                st["docs"] += len(wave.docs)
+                yield WaveResult(
+                    wave.tags, wave.docs, tri, counts,
+                    np.concatenate(cps_l)
+                    if cps_l else np.zeros(0, dtype=np.int32),
+                    offs,
+                    np.asarray([len(c) for c in cps_l], dtype=np.int32),
+                )
                 continue
-            ev_T, counts_d, bad_d, state_d = wave.handles
-            counts = np.asarray(counts_d)
+
+            ev_T, counts_d, bad_d, state_d, cps_layout = wave.handles
+            B = len(wave.docs)
+            t0 = _time.time()
+            counts = np.asarray(counts_d[:B])
             cmax = int(counts.max()) if counts.size else 0
             E = 32
             while E < cmax:
                 E *= 2
             E = min(E, ev_T.shape[1])
-            ev = np.asarray(ev_T[:, :E])
-            bad = np.asarray(bad_d)
-            state = np.asarray(state_d)
-            decoded = decode_events_compact(ev, counts, as_arrays=True)
-            for k, (tag, doc) in enumerate(zip(wave.tags, wave.docs)):
+            # slice on device: padding lanes and empty columns never
+            # cross the (bottleneck) device→host link
+            ev = np.asarray(ev_T[:B, :E])
+            bad = np.asarray(bad_d[:B])
+            state = np.asarray(state_d[:B])
+            st["fetch"] += _time.time() - t0
+            t0 = _time.time()
+            tri, counts = decode_events_flat(ev, counts)
+            st["decode"] += _time.time() - t0
+            st["docs"] += B
+            repl = {}
+            for k, doc in enumerate(wave.docs):
+                if wave.breaks[k]:
+                    entry = 1  # fresh stream: root by definition
                 # the prediction dispatched for this doc must equal the
                 # TRUE entry (previous doc's actual exit); mismatches
                 # (rare: models whose EOT arcs leave the root) replay
                 # exactly on the host and realign the chain
                 if bad[k] or entry != int(wave.entries[k]):
+                    st["repairs"] += 1
                     box = []
                     ev_l = transduce_events_fast(
                         engine.tok, doc, entry_state=int(entry),
                         exit_box=box,
                     )
-                    evs = np.asarray(ev_l, dtype=np.int32).reshape(-1, 3)
+                    repl[k] = np.asarray(
+                        ev_l, dtype=np.int32
+                    ).reshape(-1, 3)
                     entry = box[0] if box else 1
                 else:
-                    evs = decoded[k]
                     entry = int(state[k, 0])
-                yield tag, doc, evs
+            if repl:
+                tri, counts = _splice(tri, counts, repl)
+            cps_flat, cps_offs, cps_lens = cps_layout
+            yield WaveResult(
+                wave.tags, wave.docs, tri, counts,
+                cps_flat, cps_offs, cps_lens,
+            )
             free.put(wave.slot)  # buffers reusable from here on
             wave = None
     finally:
@@ -246,6 +391,31 @@ def events_pipelined(
         t.join(timeout=30)
 
 
+def events_pipelined(
+    engine: BatchEngine,
+    items: Iterable[Tuple[object, str]],
+    *,
+    lanes: int = 8192,
+    slots: int = 3,
+    max_wave_chars: int = 32 << 20,
+    long_seg_len: int = 8192,
+    stats: Optional[dict] = None,
+) -> Iterator[Tuple[object, str, np.ndarray]]:
+    """Yield ``(tag, doc, events[N,3] int32)`` in input order.
+
+    Per-document wrapper over :func:`waves_pipelined` (same arguments;
+    see there for semantics and the ``stats`` dict)."""
+    for w in waves_pipelined(
+        engine, items, lanes=lanes, slots=slots,
+        max_wave_chars=max_wave_chars, long_seg_len=long_seg_len,
+        stats=stats,
+    ):
+        offs = np.zeros(len(w.counts) + 1, dtype=np.int64)
+        np.cumsum(w.counts, out=offs[1:])
+        for k, (tag, doc) in enumerate(zip(w.tags, w.docs)):
+            yield tag, doc, w.tri[offs[k] : offs[k + 1]]
+
+
 def tokenize_stream_pipelined(
     tok,
     text: str,
@@ -254,13 +424,15 @@ def tokenize_stream_pipelined(
     engine: Optional[BatchEngine] = None,
     lanes: int = 8192,
     flags: Optional[int] = None,
+    stats: Optional[dict] = None,
 ) -> TokenWriter:
     """Overlapped-pipeline twin of :func:`pipeline.tokenize_stream`.
 
     Byte-identical output (parity pinned by tests); use for large
-    streams where end-to-end wall clock matters.
+    streams where end-to-end wall clock matters.  When the writer is
+    native (``NativeWriter``) the whole wave is formatted in one
+    GIL-releasing C call.
     """
-    from .encode import text_to_codepoints
     from .events import replay_events
     from .pipeline import split_documents
 
@@ -270,13 +442,34 @@ def tokenize_stream_pipelined(
     if engine is None:
         engine = BatchEngine(tok)
     docs = split_documents(text)
+    feed_wave = getattr(w, "feed_wave", None)
     feed = getattr(w, "feed", None)
-    for _tag, doc, evs in events_pipelined(
-        engine, ((None, d) for d in docs), lanes=lanes
+    st = stats if stats is not None else {}
+    st.setdefault("format", 0.0)
+    for wave in waves_pipelined(
+        engine, ((None, d) for d in docs), lanes=lanes, stats=st
     ):
-        if feed is not None:
-            feed(evs, text_to_codepoints(doc))
+        t0 = _time.time()
+        if feed_wave is not None:
+            feed_wave(wave.tri, wave.counts, wave.cps_flat,
+                      wave.cps_offs, wave.cps_lens)
         else:
-            replay_events([tuple(r) for r in evs.tolist()], doc, w)
+            offs = np.zeros(len(wave.counts) + 1, dtype=np.int64)
+            np.cumsum(wave.counts, out=offs[1:])
+            for k, doc in enumerate(wave.docs):
+                evs = wave.tri[offs[k] : offs[k + 1]]
+                if feed is not None:
+                    feed(
+                        evs,
+                        wave.cps_flat[
+                            wave.cps_offs[k] :
+                            wave.cps_offs[k] + wave.cps_lens[k]
+                        ],
+                    )
+                else:
+                    replay_events(
+                        [tuple(r) for r in evs.tolist()], doc, w
+                    )
+        st["format"] += _time.time() - t0
     w.flush()
     return w

@@ -160,7 +160,8 @@ def _stale_ok_after(encoder, doc: str, ok: int) -> int:
     return ok
 
 
-def predict_entries(encoder, docs: Sequence[str], entry: int = 1):
+def predict_entries(encoder, docs: Sequence[str], entry: int = 1,
+                    breaks=None):
     """Predicted packed entry contexts for an EOT-split document list.
 
     Every non-final document ends in EOT, after which a conforming
@@ -174,11 +175,17 @@ def predict_entries(encoder, docs: Sequence[str], entry: int = 1):
 
     Returns ``(entries[n] int32, next_entry)`` — the context predicted
     after the final document (for cross-wave chaining).
+
+    ``breaks[k]`` true marks document k as the start of a NEW stream
+    (e.g. a new corpus file): its entry is the fresh-transduce root
+    context by definition, not chained from the previous document.
     """
     n = len(docs)
     ents = np.empty(n, dtype=np.int32)
     cur = int(entry)
     for k, doc in enumerate(docs):
+        if breaks is not None and breaks[k]:
+            cur = 1
         ents[k] = cur
         ok = _stale_ok_after(encoder, doc, (cur >> 30) & 1)
         cur = 1 | SPLIT_FLAGS | (ok << 30)

@@ -115,6 +115,9 @@ def get_lib():
         lib.dt_writer_feed.argtypes = [
             ctypes.c_void_p, i32p, ctypes.c_int64, i32p, ctypes.c_int64,
         ]
+        lib.dt_writer_feed_wave.argtypes = [
+            ctypes.c_void_p, i32p, i32p, ctypes.c_int64, i32p, i64p, i32p,
+        ]
         lib.dt_writer_size.restype = ctypes.c_int64
         lib.dt_writer_size.argtypes = [ctypes.c_void_p]
         lib.dt_writer_copy.argtypes = [ctypes.c_void_p, i8p]
@@ -274,6 +277,13 @@ def native_encode_wave(encoder, texts, pad_to=None, threads=None,
     cps = [
         cps_flat[offs[i] : offs[i] + int(lengths[i])] for i in range(B)
     ]
+    if scratch is not None:
+        # flat codepoint layout for wave-level formatting
+        # (dt_writer_feed_wave): doc i's codepoints live at
+        # cps_flat[offs[i] : offs[i]+lengths[i]] — offs are UTF-8 byte
+        # offsets (the encoder writes each doc at its byte position)
+        scratch["cps_offs"] = offs[:B]
+        scratch["cps_lens"] = lengths
     return meta, lengths, cps
 
 
@@ -424,6 +434,25 @@ class NativeWriter:
         self.lib.dt_writer_feed(
             self.h, _ptr(ev, ctypes.c_int32), len(ev) // 3,
             _ptr(cps, ctypes.c_int32), len(cps),
+        )
+
+    def feed_wave(self, ev_tri, ev_counts, cps_flat, cps_offs,
+                  cps_lens) -> None:
+        """Replay a whole wave (see dt_writer_feed_wave): ``ev_tri`` is
+        the (N, 3) concatenation of all documents' events, documents
+        delimited by ``ev_counts``; codepoints for document i live at
+        ``cps_flat[cps_offs[i] : +cps_lens[i]]``."""
+        ev = np.ascontiguousarray(ev_tri, dtype=np.int32)
+        ev_counts = np.ascontiguousarray(ev_counts, dtype=np.int32)
+        cps_flat = np.ascontiguousarray(cps_flat, dtype=np.int32)
+        cps_offs = np.ascontiguousarray(cps_offs, dtype=np.int64)
+        cps_lens = np.ascontiguousarray(cps_lens, dtype=np.int32)
+        self.lib.dt_writer_feed_wave(
+            self.h, _ptr(ev, ctypes.c_int32),
+            _ptr(ev_counts, ctypes.c_int32), len(ev_counts),
+            _ptr(cps_flat, ctypes.c_int32),
+            _ptr(cps_offs, ctypes.c_int64),
+            _ptr(cps_lens, ctypes.c_int32),
         )
 
     def getvalue(self) -> str:

@@ -60,3 +60,34 @@ def test_corpus_native_writer_parity(mat_de, tmp_path):
     w = TokenWriter(runner.flags)
     tokenize_stream(mat_de, text, w, engine=eng)
     assert got == w.getvalue()
+
+
+def test_corpus_shared_wave_chain_breaks(mat_de, tmp_path):
+    """Files share device waves in one pipelined pass, but each file's
+    chain starts fresh at the root — a file ending mid-word (no EOT)
+    must not leak its exit context into the next file."""
+    from datok_tpu.runtime.corpus import CorpusRunner
+    from datok_tpu.runtime.jax_engine import BatchEngine
+
+    texts = [
+        "Erste Datei endet mitten im Wort readme",  # no EOT, no period
+        "Zweite Datei. Noch ein Satz!\x04Und Text zwei.",
+        "",  # empty file
+        "Abk. z.B. und mehr.\x04" * 7,
+    ]
+    files = []
+    for i, t in enumerate(texts):
+        p = tmp_path / f"f{i}.txt"
+        p.write_text(t, encoding="utf-8")
+        files.append(str(p))
+    eng = BatchEngine(mat_de, engine="hot")
+    # lanes tiny → files genuinely share / straddle waves
+    runner = CorpusRunner(mat_de, str(tmp_path / "out"), engine=eng)
+    st = {}
+    stats = runner.run(files, stats=st)
+    assert stats["done"] == 4
+    assert st["docs"] >= 10
+    for p, t in zip(files, texts):
+        want = mat_de.tokenize(t)
+        got = open(runner.out_path(p), encoding="utf-8").read()
+        assert got == want, p

@@ -114,3 +114,39 @@ def test_native_da_build_matches_python(ref_testdata):
     # reference load-factor class (datok_test.go:1242 asserts > 88)
     dat = DaTokenizer.from_automaton(auto)
     assert dat.load_factor() > 88.0
+
+
+def test_native_writer_feed_wave_parity(mat_de, enc):
+    """One dt_writer_feed_wave call must equal per-document feeds —
+    including empty documents and non-contiguous codepoint layouts."""
+    texts = TEXTS + ["", "Nur noch ein Satz. Und einer!?\x04"]
+    evs, cpss = [], []
+    for t in texts:
+        cps, metas = native_encode(enc, t.encode("utf-8"))
+        evs.append(np.asarray(
+            native_transduce_events(mat_de, metas), dtype=np.int32
+        ).reshape(-1, 3))
+        cpss.append(np.asarray(cps, dtype=np.int32))
+    for flags in (0, 1, 3, 7, 21, 31):
+        ref = NativeWriter(flags)
+        for ev, cps in zip(evs, cpss):
+            ref.feed(ev, cps)
+        ref_out = ref.getvalue()
+
+        tri = (np.concatenate(evs) if evs
+               else np.zeros((0, 3), dtype=np.int32))
+        counts = np.asarray([len(e) for e in evs], dtype=np.int32)
+        # interleave padding between docs: offsets need not be dense
+        pad = 5
+        offs = np.zeros(len(cpss), dtype=np.int64)
+        total = 0
+        for i, c in enumerate(cpss):
+            offs[i] = total
+            total += len(c) + pad
+        flat = np.full(max(total, 1), -1, dtype=np.int32)
+        for i, c in enumerate(cpss):
+            flat[offs[i] : offs[i] + len(c)] = c
+        w = NativeWriter(flags)
+        w.feed_wave(tri, counts, flat, offs,
+                    np.asarray([len(c) for c in cpss], dtype=np.int32))
+        assert w.getvalue() == ref_out, flags

@@ -188,3 +188,48 @@ def test_native_wave_encode_parity(engines):
     big = native_encode_wave(enc, ["x" * 64] * 4, scratch=scratch)
     small = native_encode_wave(enc, texts, scratch=scratch)
     assert np.array_equal(small[0], meta_p)
+
+
+def test_native_writer_wave_path(engines):
+    """tokenize_stream_pipelined with a NativeWriter (one feed_wave C
+    call per wave) is byte-identical to the Python writer path —
+    including a long document (text_to_codepoints cps layout)."""
+    from datok_tpu.utils.native import NativeWriter, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    eng = engines["de"]
+    long_doc = ("Langer Satz mit Wörtern und Zahlen 123. " * 1200) + "\x04"
+    text = STREAM + "\x04" + long_doc + "Danach noch.\x04"
+    for flags in (dt.SIMPLE, dt.TOKENS | dt.SENTENCES | dt.TOKEN_POS):
+        a = tokenize_stream_pipelined(
+            eng.tok, text, engine=eng, lanes=6,
+            writer=dt.TokenWriter(flags),
+        ).getvalue()
+        b = tokenize_stream_pipelined(
+            eng.tok, text, engine=eng, lanes=6,
+            writer=NativeWriter(flags),
+        ).getvalue()
+        assert a == b
+
+
+def test_waves_pipelined_stats(engines):
+    """The stats dict reports stage seconds and exact doc/wave counts."""
+    from datok_tpu.runtime.overlap import waves_pipelined
+
+    eng = engines["de"]
+    st = {}
+    docs = [f"Satz {i}.\x04" for i in range(23)]
+    n = 0
+    for w in waves_pipelined(
+        eng, ((None, d) for d in docs), lanes=8, stats=st
+    ):
+        n += len(w.docs)
+        assert len(w.counts) == len(w.docs)
+        assert w.tri.shape[0] == int(w.counts.sum())
+    assert n == 23
+    assert st["docs"] == 23
+    assert st["waves"] == 3
+    assert st["repairs"] == 0
+    assert all(st[k] >= 0.0 for k in ("encode", "dispatch", "fetch",
+                                      "decode"))
