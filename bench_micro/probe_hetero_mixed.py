@@ -1,13 +1,8 @@
 #!/usr/bin/env python
-"""Heterogeneous-lane probe: rotated bench text per lane.
-
-Lanes see the same document rotated by a per-lane offset, so their
-content-dependent speeds diverge — the worst case for the per-block
-ring windows (lanes more than `pring` chars apart meta-stall).  Use to
-validate ring-size (kernel_pring) choices beyond the uniform bench.
-
-    PRING=128 python bench_micro/probe_hetero.py
-"""
+"""Mixed-real-text hetero probe: conformance corpus docs cycled over
+lanes with varied lengths — the honest heterogeneous workload for the
+headline bench (VERDICT r2 item 4), as opposed to the adversarial
+rotated-text probe (probe_hetero.py)."""
 
 import json
 import os
@@ -23,12 +18,33 @@ from bench import BENCH_TEXT  # noqa: E402
 B = int(os.environ.get("BENCH_LANES", "32768"))
 L = int(os.environ.get("BENCH_LEN", "1024"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
-PRING = int(os.environ.get("PRING", "0"))
-POOL = int(os.environ.get("POOL", "0"))
-WGRP = int(os.environ.get("WGRP", "0"))
-SERVICE_K = int(os.environ.get("SERVICE_K", "0"))
-SVC_NS = int(os.environ.get("SVC_NS", "-1"))
-HOT = int(os.environ.get("HOT", "0"))
+
+
+def hetero_texts(B, L):
+    """Per-lane documents: conformance scenario inputs cycled and
+    concatenated to varied lengths in [L/4, L)."""
+    import json as _json
+
+    scen = _json.load(open("conformance/scenarios.json"))
+    pool = [
+        s["input"].replace("\x04", " ")
+        for s in scen if s.get("input") and len(s["input"]) > 20
+    ]
+    pool += [BENCH_TEXT]
+    rng = np.random.RandomState(7)
+    texts = []
+    for i in range(B):
+        target = int(L // 4 + (rng.rand() * (3 * L // 4 - 2)))
+        buf = []
+        n = 0
+        j = rng.randint(len(pool))
+        while n < target:
+            t = pool[(j + len(buf)) % len(pool)]
+            buf.append(t)
+            n += len(t) + 1
+        doc = " ".join(buf)[: target - 2] + ".\x04"
+        texts.append(doc)
+    return texts
 
 
 def main():
@@ -39,27 +55,14 @@ def main():
     from datok_tpu.runtime.jax_engine import BatchEngine
 
     tok = dt.load_matrix_file("/root/reference/testdata/tokenizer_de.matok")
-    base = (BENCH_TEXT * (L // len(BENCH_TEXT) + 1))[: L - 2]
-    texts = [
-        (base[(i * 131) % (L - 2):] + base[: (i * 131) % (L - 2)]) + ".\x04"
-        for i in range(B)
-    ]
+    texts = hetero_texts(B, L)
+    if os.environ.get("SORTLEN"):
+        texts = sorted(texts, key=len)
     nbytes = sum(len(t.encode()) for t in texts)
-    kw = {}
-    if PRING:
-        kw["kernel_pring"] = PRING
-    if POOL:
-        kw["kernel_pool"] = POOL
-    if SERVICE_K:
-        kw["service_k"] = SERVICE_K
-    if WGRP:
-        kw["kernel_wgrp"] = WGRP
-    if SVC_NS >= 0:
-        kw["kernel_svc_ns"] = SVC_NS
-    if HOT:
-        kw["hot_size"] = HOT
-    eng = BatchEngine(tok, **kw)
+    eng = BatchEngine(tok)
     meta, lengths, _ = eng.encoder.encode_batch(texts)
+    if meta.shape[1] < L:
+        meta = np.pad(meta, ((0, 0), (0, L - meta.shape[1])))
     meta_d = jax.block_until_ready(jnp.asarray(meta))
     lengths_d = jax.block_until_ready(jnp.asarray(lengths))
     t0 = time.time()
@@ -76,10 +79,6 @@ def main():
     st = (np.asarray(eng.last_stats) if eng.last_stats is not None
           else np.zeros(3, np.int32))
     print(json.dumps({
-        "pring": PRING or "default",
-        "wgrp": WGRP or "default",
-        "pool": POOL or "default",
-        "service_k": SERVICE_K or "default",
         "bad": int(np.asarray(bad).sum()),
         "rounds": int(st[0]), "services": int(st[1]),
         "steps": int(steps),

@@ -24,6 +24,7 @@ from bench import BENCH_TEXT  # noqa: E402
 B = int(os.environ.get("BENCH_LANES", "32768"))
 L = int(os.environ.get("BENCH_LEN", "1024"))
 HETERO = len(sys.argv) > 1 and sys.argv[1] == "hetero"
+MIXED = len(sys.argv) > 1 and sys.argv[1] == "mixed"
 
 
 def main():
@@ -36,7 +37,12 @@ def main():
 
     tok = dt.load_matrix_file("/root/reference/testdata/tokenizer_de.matok")
     base = (BENCH_TEXT * (L // len(BENCH_TEXT) + 1))[: L - 2]
-    if HETERO:
+    if MIXED:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from probe_hetero_mixed import hetero_texts
+
+        texts = sorted(hetero_texts(B, L), key=len)
+    elif HETERO:
         texts = [
             (base[(i * 131) % (L - 2):] + base[: (i * 131) % (L - 2)]) + ".\x04"
             for i in range(B)
@@ -47,6 +53,8 @@ def main():
         {"kernel_pool": int(os.environ["POOL"])} if os.environ.get("POOL") else {}
     ))
     meta, lengths, _ = eng.encoder.encode_batch(texts)
+    if meta.shape[1] < L:
+        meta = np.pad(meta, ((0, 0), (0, L - meta.shape[1])))
     meta_d = jax.block_until_ready(jnp.asarray(meta))
     lengths_d = jax.block_until_ready(jnp.asarray(lengths))
     jax.block_until_ready(eng.run_raw_device(meta_d, lengths_d))  # compile
@@ -57,10 +65,10 @@ def main():
         jax.block_until_ready(eng.run_raw_device(meta_d, lengths_d))
         wall = time.time() - t0
     print(json.dumps({
-        "mode": "hetero" if HETERO else "uniform",
+        "mode": "mixed" if MIXED else ("hetero" if HETERO else "uniform"),
         "wall_ms": round(wall * 1000, 1),
-        "rounds": int((eng.last_stats or (0, 0, 0))[0]),
-        "services": int((eng.last_stats or (0, 0, 0))[1]),
+        "rounds": int(np.asarray(eng.last_stats)[0]) if eng.last_stats is not None else 0,
+        "services": int(np.asarray(eng.last_stats)[1]) if eng.last_stats is not None else 0,
     }))
 
     # roll up device op durations from the trace proto (best effort)

@@ -67,7 +67,7 @@ class CorpusRunner:
         return os.path.join(self.out_dir, base + ".tok")
 
     def run(self, files: Sequence[str], verbose: bool = False,
-            stats: dict | None = None) -> dict:
+            stats: dict | None = None, pack_len: int = 1024) -> dict:
         """Process files, skipping ones already completed.  Returns stats.
 
         All pending files flow through ONE overlapped device pipeline
@@ -77,6 +77,9 @@ class CorpusRunner:
         spans the corpus, not one file.  Each file's documents are
         tagged with the file index and start a fresh entry chain
         (``stream_start``), exactly as a per-file transduce would.
+        Consecutive documents of one file are lane-packed
+        (``pack_len``; see overlap._pack_items) so short documents
+        don't leave device lanes idle.
         """
         if self.engine is None:
             from .jax_engine import BatchEngine
@@ -131,7 +134,8 @@ class CorpusRunner:
             state["done"] += 1
             state["out"] += len(out)
 
-        for wave in waves_pipelined(self.engine, items(), stats=stats):
+        for wave in waves_pipelined(self.engine, items(), stats=stats,
+                                    pack_len=pack_len):
             offs = np.zeros(len(wave.counts) + 1, dtype=np.int64)
             np.cumsum(wave.counts, out=offs[1:])
             k = 0

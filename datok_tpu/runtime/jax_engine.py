@@ -583,6 +583,18 @@ def _make_step(
             # the fused kernel turns them off
             out["stalls"] = jnp.sum(stall.astype(I32))
             out["cold"] = jnp.sum(cold_stall.astype(I32))
+        if "req_t0" in carry and track_counts:
+            # cold-stall fetch requests for the injection round trip
+            # (pallas_engine): record the exact (state, symbol) pair
+            # this lane's pending fetch needs.  Written on tracking
+            # steps only (chunk ends, in-kernel) — a stalled lane
+            # re-runs its read phase idempotently, so the pair is the
+            # same at the chunk end as at the stall — keeping the
+            # common step free of the two extra row-selects.  A lane
+            # that progressed leaves no stale request, and its stale
+            # ``inj`` self-invalidates by fingerprint mismatch.
+            out["req_t0"] = jnp.where(cold_stall, t0_t, 0)
+            out["req_a"] = jnp.where(cold_stall, a_t, 0)
         out["n_backtrack"] = nbt + (f2 | m_bf | m_bs).astype(I32)
         out["n_force"] = nfe + f3.astype(I32)
         return aux_update(out) if aux_update is not None else out
@@ -1438,6 +1450,8 @@ class BatchEngine:
         kernel_ch: int = 8,
         kernel_pring: int = 0,
         kernel_pool: int = 32,
+        kernel_wgrp: int = 0,
+        kernel_svc_ns: int = -1,
         pallas_interpret: bool = False,
     ):
         if accelerated is False:
@@ -1487,6 +1501,8 @@ class BatchEngine:
         self.kernel_ch = kernel_ch
         self.kernel_pring = kernel_pring
         self.kernel_pool = kernel_pool
+        self.kernel_wgrp = kernel_wgrp
+        self.kernel_svc_ns = kernel_svc_ns
         self.pallas_interpret = pallas_interpret
         self.accelerated = engine in ("hot", "pallas")
         if self.accelerated:
@@ -1604,7 +1620,14 @@ class BatchEngine:
             )
             L = RING
         B_pad = ((B + BL - 1) // BL) * BL
-        lengths = np.asarray(lengths, dtype=np.int32)
+        if isinstance(lengths, jax.Array) and B_pad == B:
+            # device-resident lengths pass straight through — an
+            # np.asarray here would round-trip ~128 KB over the dev
+            # tunnel (download + re-upload ≈ 8 ms/call)
+            lengths_d = lengths.astype(jnp.int32)
+        else:
+            lengths_d = None
+            lengths = np.asarray(lengths, dtype=np.int32)
         stops_a = None if stops is None else np.asarray(stops, dtype=bool)
         if B_pad != B:
             meta = (jnp if on_device else np).pad(
@@ -1621,25 +1644,42 @@ class BatchEngine:
         meta_T = (
             jnp.transpose(meta) if on_device else np.ascontiguousarray(meta.T)
         )
-        hid_init = self.spec.hot_index[
-            np.clip(t_part, 0, len(self.spec.hot_index) - 1)
-        ]
-        epst_init = self.spec.eps_avail[
-            np.clip(t_part, 0, len(self.spec.eps_avail) - 1)
-        ].astype(bool)
-        lc_init = self.spec.lc_avail[
-            np.clip(t_part, 0, len(self.spec.lc_avail) - 1)
-        ].astype(bool)
+        all_root = bool(np.all(entries == 1))
+        cache = getattr(self, "_root_init_cache", None)
+        if all_root and cache is not None and cache[0] == B_pad:
+            # all-root entry batches (the common path: every fresh
+            # document) reuse device-resident init arrays — the
+            # ~300 KB of per-call host→device init traffic costs
+            # ~10 ms/call through the ~30 MB/s dev tunnel
+            entries_d, hid_d, epst_d, lc_d = cache[1]
+        else:
+            hid_init = self.spec.hot_index[
+                np.clip(t_part, 0, len(self.spec.hot_index) - 1)
+            ]
+            epst_init = self.spec.eps_avail[
+                np.clip(t_part, 0, len(self.spec.eps_avail) - 1)
+            ].astype(bool)
+            lc_init = self.spec.lc_avail[
+                np.clip(t_part, 0, len(self.spec.lc_avail) - 1)
+            ].astype(bool)
+            entries_d = jnp.asarray(entries)
+            hid_d = jnp.asarray(hid_init.astype(np.int32))
+            epst_d = jnp.asarray(epst_init)
+            lc_d = jnp.asarray(lc_init)
+            if all_root:
+                self._root_init_cache = (
+                    B_pad, (entries_d, hid_d, epst_d, lc_d)
+                )
         stop_flags = None if stops_a is None else jnp.asarray(stops_a)
         ys, bad, steps, state, stats = _run_machine_pallas(
             self.tables,
             self.pallas_spec.tables,
             jnp.asarray(meta_T),
-            jnp.asarray(lengths),
-            jnp.asarray(entries),
-            jnp.asarray(hid_init.astype(np.int32)),
-            jnp.asarray(epst_init),
-            jnp.asarray(lc_init),
+            lengths_d if lengths_d is not None else jnp.asarray(lengths),
+            entries_d,
+            hid_d,
+            epst_d,
+            lc_d,
             stop_flags,
             eps=self.rep.eps,
             unknown=self.rep.unknown,
@@ -1657,6 +1697,8 @@ class BatchEngine:
             ),
             ch=self.kernel_ch,
             pool=self.kernel_pool,
+            wgrp=self.kernel_wgrp,
+            svc_ns=self.kernel_svc_ns,
         )
         if B_pad != B:
             ys = ys[:, :B]

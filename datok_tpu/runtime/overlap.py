@@ -102,6 +102,44 @@ class WaveResult:
         self.cps_lens = cps_lens
 
 
+def _pack_items(items, pack_len):
+    """Merge consecutive compatible items into ≤``pack_len``-char
+    "superdocs" — the lane-packing pass.
+
+    The device engine processes one document per lane; short documents
+    leave lanes idle once they finish while long ones straggle, and a
+    mixed-length corpus runs far below uniform-batch throughput
+    (measured: 150 vs 330+ MB/s/chip).  Packing consecutive documents
+    of the SAME stream (equal tag, no stream break) into one lane
+    restores near-uniform lane lengths at zero exactness cost: the
+    machine crosses the in-lane EOT boundaries natively, which IS the
+    reference's single-stream semantics (matrix.go:593-605) — no
+    speculation or verification is needed *within* a lane, only at
+    lane boundaries, exactly as before.  Only a document ending in
+    EOT can be followed within a superdoc (the machine must see the
+    terminator to reset); order is preserved, so output equals the
+    per-document replay concatenated.
+    """
+    cur = None
+    for it in items:
+        tag, doc = it[0], it[1]
+        brk = bool(it[2]) if len(it) > 2 else False
+        if cur is not None:
+            ctag, cdoc, cbrk = cur
+            if (
+                not brk
+                and tag == ctag
+                and cdoc.endswith("\x04")
+                and len(cdoc) + len(doc) <= pack_len
+            ):
+                cur = (ctag, cdoc + doc, cbrk)
+                continue
+            yield cur
+        cur = (tag, doc, brk)
+    if cur is not None:
+        yield cur
+
+
 def _assemble(items, lanes, max_wave_chars):
     """Group items into waves; oversize docs go alone.
 
@@ -153,9 +191,15 @@ def waves_pipelined(
     slots: int = 3,
     max_wave_chars: int = 32 << 20,
     long_seg_len: int = 8192,
+    pack_len: int = 0,
     stats: Optional[dict] = None,
 ) -> Iterator[WaveResult]:
     """Yield :class:`WaveResult` per wave, in input order.
+
+    ``pack_len`` > 0 merges consecutive same-tag documents into
+    ≤pack_len-char lanes (see :func:`_pack_items`) — large throughput
+    win on mixed-length corpora, exact by stream semantics.  Callers
+    that need per-ITEM event granularity must leave it 0.
 
     ``items`` yields ``(tag, doc)`` pairs (the tag is passed through —
     callers use it to route output, e.g. a corpus file index).  Event
@@ -187,6 +231,8 @@ def waves_pipelined(
         free.put({})  # scratch dict per slot
     stop = threading.Event()
     err: List[BaseException] = []
+    if pack_len:
+        items = _pack_items(items, pack_len)
     st = stats if stats is not None else {}
     for k in ("encode", "dispatch", "fetch", "decode"):
         st.setdefault(k, 0.0)
@@ -424,6 +470,7 @@ def tokenize_stream_pipelined(
     engine: Optional[BatchEngine] = None,
     lanes: int = 8192,
     flags: Optional[int] = None,
+    pack_len: int = 1024,
     stats: Optional[dict] = None,
 ) -> TokenWriter:
     """Overlapped-pipeline twin of :func:`pipeline.tokenize_stream`.
@@ -447,7 +494,8 @@ def tokenize_stream_pipelined(
     st = stats if stats is not None else {}
     st.setdefault("format", 0.0)
     for wave in waves_pipelined(
-        engine, ((None, d) for d in docs), lanes=lanes, stats=st
+        engine, ((None, d) for d in docs), lanes=lanes, stats=st,
+        pack_len=pack_len,
     ):
         t0 = _time.time()
         if feed_wave is not None:

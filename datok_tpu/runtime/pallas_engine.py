@@ -64,12 +64,19 @@ from .jax_engine import (HotSpec, I32, PAYLOAD_MASK, TAG_COLD,
 # per machine via the ``pring`` argument.
 PRING = 256
 
-# carry rows shipped through the kernel, in order
+# carry rows shipped through the kernel, in order.  ``inj`` carries a
+# memoized exact cold fetch INTO the kernel and the ``req*`` rows
+# carry cold-stall fetch requests back out (see the injection design
+# note in _run_machine_pallas): ``inj`` answers exactly the
+# ``(req_t0, req_a)`` pair recorded when it was computed — a stale
+# injection self-invalidates because the lane's current fetch no
+# longer matches that fingerprint, so no consume-once bookkeeping is
+# needed.
 ROWS = (
     "t", "t0", "a", "a_cls", "ok", "eot", "newchar", "eps_s", "eps_o",
     "c", "b", "ft", "sflag", "tflag", "phase", "pend", "pend2", "ckpt",
     "n_backtrack", "n_force", "hid", "t0_hid", "eps_s_hid", "eps_t",
-    "lc_t", "length", "stop",
+    "lc_t", "length", "stop", "inj", "req_t0", "req_a",
 )
 BOOL_ROWS = frozenset(
     ("ok", "eot", "newchar", "sflag", "tflag", "eps_t", "lc_t", "stop")
@@ -160,6 +167,58 @@ def decode_tagged_mm(t, dec_planes):
     return jnp.where(epsf, comb(8), out)
 
 
+def decode_tagged_mm2(t, dec_planes2):
+    """Split-payload tagged decode: two-level (lo × hi) lookup.
+
+    :func:`decode_tagged_mm`'s dominant cost is not the MXU dot but the
+    (B, P2) one-hot *construction* (profiled round 3: 4 decodes ≈ 0.38
+    of each ~0.5 ms budgeted service at B=32K, P2=2048).  Splitting the
+    11-bit payload as ``pay = hi*LO + lo`` replaces it with a (B, LO)
+    one-hot (16× fewer compares at LO=128), one dot against a
+    ``(LO, HI*12)`` re-layout of the same byte planes, and a masked
+    HI-way sum over the dot's *fresh* output (vectorized — the
+    loop-invariant-operand gather trap does not apply, see BENCH_LOG
+    hardware facts).  Bit-identical to :func:`decode_tagged_mm` by
+    construction: same planes, same bias, same flag select.
+    """
+    pay = t & PAYLOAD_MASK
+    LO = dec_planes2.shape[0]
+    HI = dec_planes2.shape[1] // 12
+    payc = jnp.clip(pay, 0, LO * HI - 1)
+    if LO & (LO - 1) == 0:
+        # integer div/mod are multi-instruction on the VPU; LO is a
+        # power of two in practice (min(128, P2))
+        lo = payc & (LO - 1)
+        hi = payc >> int(LO).bit_length() - 1
+    else:
+        lo = payc % LO
+        hi = payc // LO
+    oh_lo = (
+        lo[:, None] == jnp.arange(LO, dtype=I32)[None, :]
+    ).astype(jnp.int8)
+    prod = jax.lax.dot_general(
+        oh_lo, dec_planes2,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=I32,
+    ).reshape(-1, HI, 12)
+    oh_hi = hi[:, None] == jnp.arange(HI, dtype=I32)[None, :]
+    by = jnp.sum(jnp.where(oh_hi[:, :, None], prod, 0), axis=1) + 128
+
+    def comb(o):
+        return (
+            by[:, o]
+            | (by[:, o + 1] << 8)
+            | (by[:, o + 2] << 16)
+            | (by[:, o + 3] << 24)
+        )
+
+    hot = (t & TAG_HOT) != 0
+    cold = (t & TAG_COLD) != 0
+    epsf = (t & TAG_EPSOF) != 0
+    out = jnp.where(hot, comb(0), jnp.where(cold, comb(4), t))
+    return jnp.where(epsf, comb(8), out)
+
+
 def _id_byte_planes(vals: "np.ndarray", p2: int) -> "np.ndarray":
     """(p2, 4) int8 little-endian byte planes of int32 ids, biased −128."""
     out = np.zeros((p2, 4), dtype=np.int8)
@@ -193,8 +252,56 @@ def _tree_gather_rows(xs, idx):
     return xs  # each (1, BL)
 
 
+_INJ_MARK = -(2 ** 31)  # int32 bit 31: "entry present" marker
+
+
+def _dedup_gather(table, idx, need, NU, lane_iota):
+    """Exact gather ``table[idx]`` for the ``need`` lanes, paying the
+    serial-gather cost only for UNIQUE indices.
+
+    XLA lowers ``jnp.take`` to a ~40 ns/element scalar-core loop
+    (BENCH_LOG hardware facts), so a full-batch gather costs ~1.3 ms at
+    B=32K — yet the distinct (state, symbol) pairs behind a service's
+    B fetches number a handful on uniform batches and a few hundred on
+    heterogeneous ones (cold transitions cluster in rare-word regions
+    of the model).  So: sort the needing lanes by index (vectorized),
+    mark run starts, compact the ≤NU unique indices to the front with
+    a second sort, serial-gather ONLY those, distribute values back
+    along the runs with a log2 select tree, and unsort by lane id with
+    a third sort.  Cost: three small sorts + NU serial elements
+    instead of B.
+
+    Returns int32 (B,): ``table[idx] | _INJ_MARK`` for needing lanes
+    whose index fell within the NU-unique budget (test ``v < 0``), 0
+    for everyone else (not needing, or beyond budget).
+    """
+    B = idx.shape[0]
+    BIGI = jnp.int32(0x7FFFFFFF)
+    key = jnp.where(need, idx, BIGI)
+    k_s, lane_s = jax.lax.sort((key, lane_iota), num_keys=1)
+    run0 = jnp.concatenate(
+        [jnp.ones(1, bool), k_s[1:] != k_s[:-1]]
+    ) & (k_s < BIGI)
+    rank = jnp.cumsum(run0.astype(I32)) - 1  # run id per sorted pos
+    # compact the unique indices to the front (stable)
+    _, u_idx = jax.lax.sort(
+        (jnp.where(run0, rank, BIGI), k_s), num_keys=1
+    )
+    u_val = jnp.take(table, jnp.clip(u_idx[:NU], 0, table.shape[0] - 1))
+    val_s = _tree_select_shared(u_val, jnp.clip(rank, 0, NU - 1))
+    got = (k_s < BIGI) & (rank < NU)
+    v_s = jnp.where(got, val_s | jnp.int32(_INJ_MARK), 0)
+    _, v = jax.lax.sort((lane_s, v_s), num_keys=1)  # original order
+    return v
+
+
 def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
-                 early_exit=False, pring=PRING, ch=0, pool=8):
+                 early_exit=False, pring=PRING, ch=0, pool=8,
+                 inj_mode=True):
+    # w_ref is a per-LANE ring-window base row (1, BL): window bases
+    # are computed per G-lane group outside the kernel (see
+    # _run_machine_pallas wgrp), so heterogeneous lanes only convoy
+    # within their group, not across the whole block
     H = spec.H
     A_pad = spec.A_pad
     hid1 = spec.hid1
@@ -208,7 +315,7 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
     eps_cls = int(spec.cls_tab[eps]) if use_cls else 0
 
     def kernel(w_ref, rows_ref, ring_ref, planes_ref, out_rows_ref, ys_ref, info_ref):
-        w = w_ref[pl.program_id(0), 0]  # this block's ring window base
+        w = w_ref[...]  # (1, BL) per-lane ring window base
         ring = ring_ref[...]
         planes = planes_ref[...]
         # i32 iota: v5e Mosaic supports neither 16-bit `tpu.iota` nor
@@ -231,7 +338,8 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
         def probe_fn(carry):
             return carry["eps_t"]
 
-        def fetch_trans(carry, t0, t0_hid, a, a_cls):
+        def make_fetch_trans(with_inj):
+          def fetch_trans(carry, t0, t0_hid, a, a_cls):
             # Contract over the HOT dimension and mask-reduce over the
             # ALPHABET: the same 2H·W·BL MXU MACs either way, but the
             # VPU select runs over W ≤ 256 rows instead of 2H=1536 —
@@ -259,6 +367,32 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
             # the old mask-reduce yielded 128|128<<8 there, whose five
             # consumed flag bits are equally zero
             entry = jnp.where(a > 0, (lo + 128) | ((hi + 128) << 8), 0)
+            if with_inj:
+                # Injected cold entry: the outer loop memoized the
+                # exact general fetch for the (req_t0, req_a) pair
+                # this lane cold-stalled on; apply it when the lane's
+                # CURRENT fetch matches that fingerprint (the read
+                # phase is idempotent, so the pair is stable while
+                # stalled — and re-applying the same entry to a
+                # repeated identical fetch is exact: it is a pure
+                # function of the pair).  Injections are only
+                # computed BETWEEN rounds, so this branch is built
+                # into the round's FIRST step only — the other K−1
+                # steps carry zero injection cost.  The injected
+                # value is pre-packed with its FLAG bits in the
+                # plane-entry layout (valid=1, hot=0, nontok=4, ε=8,
+                # lc=16), so the flag extraction below is shared with
+                # the plane path; only the target (full state id,
+                # untagged — decode passes it through; bits 16..30)
+                # and hot id (bits 5..15) need their own selects.  A
+                # cold target simply stalls again at its next fetch
+                # and re-enters the request loop.
+                inj = carry["inj"]
+                use_inj = (
+                    (inj < 0) & (t0_hid < 0)
+                    & (t0 == carry["req_t0"]) & (a == carry["req_a"])
+                )
+                entry = jnp.where(use_inj, inj & 0x1D, entry)
             valid = (entry & 1) != 0
             hot_t = (entry & 2) != 0
             nontok = (entry & 4) != 0
@@ -267,12 +401,21 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
             payload = entry >> 5
             t_next = jnp.where(hot_t, TAG_HOT | payload, TAG_COLD | payload)
             t_next_hid = jnp.where(hot_t, payload, -1)
-            can = t0_hid >= 0
+            if with_inj:
+                t_next = jnp.where(use_inj, (inj >> 16) & 0x7FFF, t_next)
+                t_next_hid = jnp.where(
+                    use_inj, ((inj >> 5) & 0x7FF) - 1, t_next_hid
+                )
+                can = (t0_hid >= 0) | use_inj
+            else:
+                can = t0_hid >= 0
             # fused boundary entry: bit0=0 bit1=1; 10-bit payload =
             # final target hot id, bit15 = ε-avail at the ε-target
+            # (hot_t is 0 for injected entries, so fus.have excludes
+            # them automatically)
             pay10 = (entry >> 5) & 0x3FF
             fus = dict(
-                have=~valid & hot_t & can,
+                have=~valid & hot_t & (t0_hid >= 0),
                 nontok=nontok,
                 epst=eps_tgt,
                 lct=lc_tgt,
@@ -282,6 +425,8 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
                 bt=TAG_EPSOF | jnp.maximum(t0_hid, 0),
             )
             return can, valid, nontok, t_next, t_next_hid, eps_tgt, lc_tgt, fus
+
+          return fetch_trans
 
         def emit_fn(out, emit):
             ys_ref[pl.ds(out["steps"], 1), :] = emit.astype(I32)
@@ -293,7 +438,7 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
             identity=identity,
             fetch_meta=fetch_meta,
             probe_fn=probe_fn,
-            fetch_trans=fetch_trans,
+            fetch_trans=make_fetch_trans(inj_mode),
             aux_update=None,
             eps1=spec.eps1,
             hid1=hid1,
@@ -304,19 +449,22 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
             unknown_cls=unknown_cls,
             eps_cls=eps_cls,
         )
-        step = _make_step(track_counts=False, **step_kwargs)
+        # The round's FIRST step consumes pending injections (they
+        # only arrive between rounds), all later steps run the plain
+        # (injection-free) fetch — so the common step carries zero
+        # injection cost.  The first step tracks (it writes req rows
+        # for any immediately re-stalled lane; later track steps
+        # overwrite them).
+        step_first = _make_step(track_counts=True, **step_kwargs)
+        step_kwargs_plain = dict(
+            step_kwargs, fetch_trans=make_fetch_trans(False)
+        )
+        step = _make_step(track_counts=False, **step_kwargs_plain)
         # the tracking variant pays vector→scalar reductions (stall /
         # cold counts) — run it only on the last step of each chunk
-        step_track = _make_step(track_counts=True, **step_kwargs)
+        step_track = _make_step(track_counts=True, **step_kwargs_plain)
 
         rows_in = rows_ref[...]
-        # static 2D slices (no 1D relayouts in Mosaic); bool registers
-        # stay int32 across loop iterations — Mosaic cannot round-trip
-        # i1 vectors through loop carries (i8→i1 trunci is unsupported)
-        carry = {k: rows_in[i : i + 1, :] for i, k in enumerate(ROWS)}
-        carry["steps"] = jnp.int32(0)
-        carry["stalls"] = jnp.int32(0)
-        carry["cold"] = jnp.int32(0)
 
         def step_i32(fn, carry):
             c2 = dict(carry)
@@ -326,6 +474,25 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
             for k in BOOL_ROWS:
                 out[k] = out[k].astype(I32)
             return out
+
+        def step_i32_first(carry):
+            return step_i32(step_first, carry)
+
+        # static 2D slices (no 1D relayouts in Mosaic); bool registers
+        # stay int32 across loop iterations — Mosaic cannot round-trip
+        # i1 vectors through loop carries (i8→i1 trunci is unsupported)
+        carry = {k: rows_in[i : i + 1, :] for i, k in enumerate(ROWS)}
+        carry["steps"] = jnp.int32(0)
+        carry["stalls"] = jnp.int32(0)
+        carry["cold"] = jnp.int32(0)
+        if inj_mode:
+            # consume injections up front (see step_first note); the
+            # 1-iteration fori keeps the emit index a traced scalar
+            # (a concrete index reaches a different, unsupported
+            # masked-swap lowering path)
+            carry = jax.lax.fori_loop(
+                0, 1, lambda i, c: step_i32_first(c), carry
+            )
 
         def live_of(carry):
             return (carry["phase"] == 0) | (carry["pend"] != 0)
@@ -354,30 +521,37 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
             def cond(carry):
                 live = live_of(carry)
                 n_live = jnp.sum(live.astype(I32))
-                # Exit on COLD stalls relative to live lanes, strictly
-                # ABOVE the outer loop's pooled-service threshold
-                # (live/pool): if the kernel exited below it, the
-                # n_inner==0 backstop would force a service every round
-                # and defeat cold-lane pooling (see outer_body).  Meta-
-                # window stalls must NOT end the round: only the window
-                # advancing (i.e. the block's slowest lanes running
-                # more steps) helps them, and exiting early convoys the
-                # whole block behind the spread (measured: rotated-
-                # text lanes all died at the step budget).  Exit when
-                # every live lane is stalled (nothing can progress).
-                ok_cold = carry["cold"] * pool < 2 * n_live
+                # Meta-window stalls must NOT end the round: only the
+                # window advancing (i.e. the block's slowest lanes
+                # running more steps) helps them, and exiting early
+                # convoys the whole block behind the spread (measured:
+                # rotated-text lanes all died at the step budget).
+                # Exit when every live lane is stalled (nothing can
+                # progress).
                 any_run = carry["stalls"] < n_live
-                return (
+                keep = (
                     (carry["steps"] + CH <= K)
                     & (n_live > 0)
-                    & ok_cold
                     & any_run
                 )
+                # Exit once the pooled-cold share crosses the trigger:
+                # with injection the pooled lanes' entries arrive at
+                # the NEXT round boundary, so ending the round bounds
+                # their stall latency (letting them idle a full K
+                # steps measured slower on the rotated probe: 152 vs
+                # 194 MB/s); without injection they need an XLA
+                # service, same logic (strictly above the live/pool
+                # service threshold so the n_inner==0 backstop can't
+                # fire every round).
+                keep = keep & (carry["cold"] * pool < 2 * n_live)
+                return keep
 
             carry = jax.lax.while_loop(cond, chunk, carry)
         else:
+            # tracking variant: the req rows (injection requests) are
+            # only written by tracking steps
             carry = jax.lax.fori_loop(
-                0, K, lambda i, c: step_i32(step, c), carry
+                0, K, lambda i, c: step_i32(step_track, c), carry
             )
 
         out_rows = jnp.concatenate(
@@ -390,7 +564,7 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
 
 
 def _kernel_call(spec, *, eps, unknown, identity, K, BL, B, early_exit,
-                 interpret, pring=PRING, ch=0, pool=8):
+                 interpret, pring=PRING, ch=0, pool=8, inj_mode=True):
     if interpret:
         # chunking only pays on hardware (it cuts Mosaic's per-step
         # vector→scalar reductions); in interpreter mode the unrolled
@@ -399,6 +573,7 @@ def _kernel_call(spec, *, eps, unknown, identity, K, BL, B, early_exit,
     kernel = _make_kernel(
         spec, eps=eps, unknown=unknown, identity=identity, K=K, BL=BL,
         early_exit=early_exit, pring=pring, ch=ch, pool=pool,
+        inj_mode=inj_mode,
     )
     H = spec.H
     W = spec.C_pad if spec.cls_tab is not None else spec.A_pad
@@ -414,9 +589,7 @@ def _kernel_call(spec, *, eps, unknown, identity, K, BL, B, early_exit,
             ),
             grid=grid,
             in_specs=[
-                pl.BlockSpec(
-                    (B // BL, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
-                ),
+                pl.BlockSpec((1, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NC, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((pring, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
@@ -467,7 +640,7 @@ def _general_fetches_T(rep, tables, meta_T):
     static_argnames=(
         "eps", "unknown", "identity", "rep", "spec", "max_steps",
         "service_k", "K", "BL", "early_exit", "interpret", "pring", "ch",
-        "pool",
+        "pool", "wgrp", "svc_ns",
     ),
 )
 def _run_machine_pallas(
@@ -495,6 +668,8 @@ def _run_machine_pallas(
     pring=PRING,
     ch=0,
     pool=8,
+    wgrp=0,
+    svc_ns=-1,
 ):
     """Fused-kernel machine: K-step Pallas rounds + XLA service steps."""
     L, B = meta_T.shape
@@ -515,10 +690,18 @@ def _run_machine_pallas(
     # completion needs slack beyond steps_factor × its length.
     max_steps_pad = max_steps + max_steps // 2 + K + 8
 
+    # cold-entry injection mode: available whenever the packed service
+    # table exists, unless explicitly disabled (svc_ns=0 keeps the
+    # classic full-gather pooled-service behavior as an A/B knob).
+    # The in-kernel injected value carries the full target id in 15
+    # bits (see fetch_trans), so very large models fall back to the
+    # service path.
+    inj_mode = has_svc and svc_ns != 0 and rep.S < (1 << 15)
+
     call = _kernel_call(
         spec, eps=eps, unknown=unknown, identity=identity, K=K, BL=BL,
         B=B, early_exit=early_exit, interpret=interpret, pring=pring,
-        ch=ch, pool=pool,
+        ch=ch, pool=pool, inj_mode=inj_mode,
     )
 
     aux_map = (
@@ -528,7 +711,7 @@ def _run_machine_pallas(
     )
 
     def decode(t):
-        return decode_tagged_mm(t, dec_planes)
+        return decode_tagged_mm2(t, dec_planes)
 
     def aux(carry):
         out = dict(carry)
@@ -546,23 +729,43 @@ def _run_machine_pallas(
     svc_ucls = int(spec.cls_tab[unknown]) if use_cls else 0
     svc_ecls = int(spec.cls_tab[eps]) if use_cls else 0
 
+    full_svc = True  # non-svc (exact general) services fetch all lanes
     if has_svc:
         # ONE serial gather per service (the packed table carries
         # target + nontoken + ε/lc-avail + hot id, see HotSpec
         # svc_packed) instead of transition + aux refresh; indexing is
         # the raw matrix's (matrix.go:463)
         S_full = rep.S
+        # Dedup-gather service fetch (see _dedup_gather).  Lanes whose
+        # index falls beyond the NU-unique budget (or that are hot)
+        # stall this step — the read phase is idempotent: hot lanes
+        # advance in the next kernel round, leftover cold lanes in the
+        # next service, which keeps firing while they pool.
+        NU = 512 if svc_ns < 0 else svc_ns
+        if NU > 0:
+            while NU & (NU - 1):
+                NU += NU & -NU  # round up to a power of two
+        full_svc = NU == 0 or NU >= B
+        lane_iota = jnp.arange(B, dtype=I32)
 
         def ft_svc(carry, t0, t0_hid, a, a_cls):
             idx = jnp.clip((a - 1) * S_full + t0, 0, svc_packed.shape[0] - 1)
-            e = jnp.where(a > 0, jnp.take(svc_packed, idx), 0)
+            if full_svc:
+                e = jnp.where(a > 0, jnp.take(svc_packed, idx), 0)
+                can = jnp.ones_like(e, bool)
+            else:
+                live = (carry["phase"] == 0) | (carry["pend"] != 0)
+                need = live & (t0_hid < 0) & (a > 0)
+                v = _dedup_gather(svc_packed, idx, need, NU, lane_iota)
+                can = v < 0  # bit 31: fetch happened for this lane
+                e = v & jnp.int32(0x7FFFFFFF)
             valid = e != 0
             t_next = e & 0x3FFFF
             nontok = ((e >> 18) & 1) != 0
             epst = ((e >> 19) & 1) != 0
             lct = ((e >> 20) & 1) != 0
             t_hid = ((e >> 21) & 0x3FF) - 1
-            return jnp.ones_like(valid), valid, nontok, t_next, t_hid, epst, lct
+            return can, valid, nontok, t_next, t_hid, epst, lct
 
         svc_ft, svc_aux = ft_svc, None
     else:
@@ -590,7 +793,7 @@ def _run_machine_pallas(
     def service_cond(carry):
         return carry["need_srv"]
 
-    def make_service_body(step_srv):
+    def make_service_body(step_srv, w_lane=None):
         def service_body(carry):
             out = dict(carry)
             # resolve tagged registers before the exact general step
@@ -601,41 +804,78 @@ def _run_machine_pallas(
                 out["ckpt"] & jnp.int32(0x70000000)
             )
             out = step_srv(out)
-            out["need_srv"] = jnp.array(False)
             out["since"] = jnp.int32(0)
             out["services"] = carry["services"] + 1
+            # Burst: keep servicing while the pooled-cold share stays
+            # above the trigger.  With the budgeted (sort-compacted)
+            # fetch a service costs ~NS, not B, serial elements, so
+            # draining a large pool in consecutive service steps is
+            # ~10× cheaper than interleaving a mostly-stalled kernel
+            # round between each (which burned the global step budget
+            # and killed over-budget lanes — bad=4399 on the rotated
+            # probe).  Full-gather services (svc_ns=0) keep the old
+            # one-shot behavior: bursts were a measured net loss there.
+            if full_svc:
+                out["need_srv"] = jnp.array(False)
+            else:
+                # bounded: cold-CHAIN lanes stay cold for many chars
+                # (rare-word regions), so an unbounded drain would feed
+                # whole documents through the 1-char/step service path
+                # while every hot lane idles (measured: 3295 services,
+                # one kernel round, all lanes over budget)
+                out["burst"] = carry["burst"] + 1
+                live2 = live_mask(out)
+                cold = live2 & (
+                    (out["hid"] < 0) | (out["t0_hid"] < 0)
+                )
+                if w_lane is not None:
+                    cold = cold & ((out["c"] - w_lane) < pring)
+                n_live2 = jnp.sum(live2.astype(I32))
+                out["need_srv"] = (
+                    (jnp.sum(cold.astype(I32)) * pool >= n_live2)
+                    & (out["steps"] + 2 <= max_steps_pad)
+                    & (out["burst"] < 3)
+                )
             return out
 
         return service_body
 
     service_body_exact = make_service_body(make_service_step(fm_g))
 
-    nb = B // BL
+    # ring-window group size: wgrp lanes share one window base
+    # (wgrp=0 → one window per kernel block, the round-2 behavior)
+    G = min(wgrp, BL) if wgrp > 0 else BL
+    assert BL % G == 0, "wgrp must divide the kernel block size"
 
     def outer_body(carry):
         live = live_mask(carry)
         c_live = jnp.where(live, carry["c"], jnp.int32(1 << 28))
-        # Per-BLOCK ring windows: each block's window follows its own
-        # slowest live lane.  A single global window pins every lane to
-        # the globally slowest one; with heterogeneous lanes the
-        # content-dependent speed spread exceeds the ring and most
+        # Per-GROUP ring windows: each G-lane group's window follows
+        # its own slowest live lane.  A single global window pins every
+        # lane to the globally slowest one; with heterogeneous lanes
+        # the content-dependent speed spread exceeds the ring and most
         # lanes meta-stall (measured: rounds ballooned 12 → 149 on the
-        # rotated-text benchmark).
-        w_blk = jnp.clip(
-            jnp.min(c_live.reshape(nb, BL), axis=1), 0, max(0, L - pring)
+        # rotated-text benchmark).  Group granularity below the kernel
+        # block (G < BL) shrinks the convoy domain further: only lanes
+        # sharing a 128/256-lane group convoy, which closes most of the
+        # heterogeneous-batch gap (see BENCH_LOG round 3).
+        w_grp = jnp.clip(
+            jnp.min(c_live.reshape(B // G, G), axis=1),
+            0, max(0, L - pring),
         )
         ring_T = jnp.concatenate(
             [
                 jax.lax.dynamic_slice(
-                    meta_T, (w_blk[i], i * BL), (pring, BL)
+                    meta_T, (w_grp[g], g * G), (pring, G)
                 )
-                for i in range(nb)
+                for g in range(B // G)
             ],
             axis=1,
         )
+        w_lane = jnp.repeat(w_grp, G).astype(I32)
         rows = _pack_rows(carry)
         out_rows, ys_chunk, info = call(
-            w_blk.reshape(nb, 1).astype(I32), rows, ring_T, planes
+            w_lane.reshape(1, B), rows, ring_T, planes
         )
         out = _unpack_rows(out_rows, carry)
         n_inner = jnp.max(info[0])
@@ -646,38 +886,71 @@ def _run_machine_pallas(
         out["since"] = carry["since"] + n_inner
         out["rounds"] = carry["rounds"] + 1
         out["services"] = carry["services"]
+        out["burst"] = jnp.int32(0)
         live2 = live_mask(out)
-        w_lane = jnp.repeat(w_blk, BL).astype(I32)
-        cold_lane = live2 & ((out["hid"] < 0) | (out["t0_hid"] < 0))
-        if has_svc:
-            # pooled = cold AND inside its block's meta window: the
-            # windowed service cannot advance an out-of-window lane
-            # (its meta fetch stalls exactly like the kernel's), so
-            # counting it would fire useless services every round
-            # until the window catches up.  The exact (non-svc)
-            # service CAN advance any lane — no window filter there.
-            cold_lane = cold_lane & ((out["c"] - w_lane) < pring)
-        # Pool cold lanes instead of servicing on first demand: a
-        # service costs serial gathers over ALL B lanes (~ms at B=32K),
-        # while a stalled lane idles in-kernel at zero marginal wall
-        # cost.  With heterogeneous lanes cold events de-synchronize,
-        # so demand-servicing fired every round and dominated the run
-        # (measured 102 services / 103 rounds, 4× slowdown).  Service
-        # when ≥1/pool of the *live* lanes are pooled (scales down as
-        # lanes finish, so tails drain), on heartbeat, or when nothing
-        # progressed.
-        n_live2 = jnp.sum(live2.astype(I32))
-        cold_cnt = jnp.sum(cold_lane.astype(I32))
-        out["need_srv"] = jnp.any(live2) & (
-            (cold_cnt * pool >= n_live2)
-            | (out["since"] >= service_k)
-            | (n_inner == 0)
-            # a round that barely progressed while cold lanes are
-            # pooled is convoying behind them — service immediately
-            # (heterogeneous batches: cold lanes block their block's
-            # meta window, which blocks everyone else)
-            | ((cold_cnt > 0) & (n_inner * 4 <= K))
-        )
+        if inj_mode:
+            # Entry INJECTION: answer every cold-stalled lane's
+            # recorded (state, symbol) request with the exact packed
+            # transition entry, memoized into the inj rows the next
+            # kernel round consumes (see the fetch_trans injection
+            # branch).  With requests answered in-line, the kernel
+            # never exits a round for cold lanes and the per-round
+            # XLA service step disappears from the steady state —
+            # the dedup gather costs three small sorts plus a serial
+            # gather of the UNIQUE pairs only (~hundreds at B=32K
+            # heterogeneous, a handful uniform), versus a ~1.3 ms
+            # full-batch gather per service before.
+            req_t0 = out["req_t0"]
+            req_a = out["req_a"]
+            need = live2 & (req_a > 0)
+            t0_full = decode(req_t0)
+            inj_idx = jnp.clip(
+                (req_a - 1) * S_full + t0_full,
+                0, svc_packed.shape[0] - 1,
+            )
+            v = _dedup_gather(
+                svc_packed, inj_idx, need, NU, lane_iota
+            )
+            # repack into the kernel's injected-entry layout: flag
+            # bits aligned with plane entries (valid=1, hot=0,
+            # nontok=4, eps=8, lc=16), hid+1 at bits 5..15, full
+            # target id at bits 16..30, present mark at bit 31
+            e = v & jnp.int32(0x7FFFFFFF)
+            out["inj"] = jnp.where(
+                v < 0,
+                jnp.int32(_INJ_MARK)
+                | (e != 0).astype(I32)
+                | (((e >> 18) & 1) << 2)
+                | (((e >> 19) & 1) << 3)
+                | (((e >> 20) & 1) << 4)
+                | (((e >> 21) & 0x3FF) << 5)
+                | ((e & 0x7FFF) << 16),
+                0,
+            )
+            # services remain only as a safety net: a round that made
+            # no progress at all (shouldn't happen — injected lanes
+            # advance next round) or the staleness heartbeat
+            out["need_srv"] = jnp.any(live2) & (
+                (n_inner == 0) | (out["since"] >= service_k)
+            )
+        else:
+            cold_lane = live2 & (
+                (out["hid"] < 0) | (out["t0_hid"] < 0)
+            )
+            # Pool cold lanes instead of servicing on first demand: a
+            # service costs serial gathers over ALL B lanes (~ms at
+            # B=32K), while a stalled lane idles in-kernel at zero
+            # marginal wall cost.  Service when ≥1/pool of the *live*
+            # lanes are pooled (scales down as lanes finish, so tails
+            # drain), on heartbeat, or when nothing progressed.
+            n_live2 = jnp.sum(live2.astype(I32))
+            cold_cnt = jnp.sum(cold_lane.astype(I32))
+            out["need_srv"] = jnp.any(live2) & (
+                (cold_cnt * pool >= n_live2)
+                | (out["since"] >= service_k)
+                | (n_inner == 0)
+                | ((cold_cnt > 0) & (n_inner * 4 <= K))
+            )
         if has_svc:
             # Windowed service meta fetch: a tree-select over the SAME
             # per-block ring windows the kernel round just used,
@@ -686,10 +959,8 @@ def _run_machine_pallas(
             # more than `pring` ahead of their block's slowest live
             # lane meta-stall (exact: the read phase is idempotent and
             # re-runs once the window catches up); the slowest lane of
-            # every block is always in window, so rounds always
+            # every group is always in window, so rounds always
             # progress.
-            w_lane = jnp.repeat(w_blk, BL).astype(I32)
-
             def fm_srv(carry):
                 off = carry["c"] - w_lane
                 can = (off >= 0) & (off < pring)
@@ -703,7 +974,7 @@ def _run_machine_pallas(
             # probe: pool32 188 vs 237 MB/s.  A service step costs a
             # full serial gather over B regardless of how few lanes
             # need it, so extra services overwhelm the rounds saved.)
-            body = make_service_body(make_service_step(fm_srv))
+            body = make_service_body(make_service_step(fm_srv), w_lane)
         else:
             body = service_body_exact
         return jax.lax.while_loop(service_cond, body, out)
@@ -720,6 +991,9 @@ def _run_machine_pallas(
     )
     init["since"] = jnp.int32(0)
     init["rounds"] = jnp.int32(0)
+    init["burst"] = jnp.int32(0)
+    for k in ("inj", "req_t0", "req_a"):
+        init[k] = jnp.zeros(B, I32)
     init["services"] = jnp.int32(0)
     out = jax.lax.while_loop(outer_cond, outer_body, init)
 
@@ -771,6 +1045,12 @@ class PallasSpec:
             ],
             axis=1,
         )  # (P2, 12) int8
+        # two-level re-layout for decode_tagged_mm2: pay = hi*LO + lo
+        LO = min(128, P2)
+        HI = P2 // LO
+        dec2 = np.ascontiguousarray(
+            dec.reshape(HI, LO, 12).transpose(1, 0, 2).reshape(LO, HI * 12)
+        )
         self.tables = (
             # class-compressed when available (identical to planes_kT
             # column-for-column through cls_tab; see HotSpec)
@@ -778,7 +1058,7 @@ class PallasSpec:
             jnp.asarray(spec.hot_index),
             jnp.asarray(spec.eps_avail),
             jnp.asarray(spec.lc_avail),
-            jnp.asarray(dec),                   # (P2, 12) decode planes
+            jnp.asarray(dec2),                  # (LO, HI*12) decode planes
         ) + (
             (jnp.asarray(spec.svc_packed),) if spec.svc_ok else ()
         )                                       # packed service table

@@ -86,8 +86,21 @@ def test_corpus_shared_wave_chain_breaks(mat_de, tmp_path):
     st = {}
     stats = runner.run(files, stats=st)
     assert stats["done"] == 4
-    assert st["docs"] >= 10
+    # lane packing merges each file's documents into one superdoc
+    # (all files here are short); file boundaries never pack together
+    assert st["docs"] == 4
     for p, t in zip(files, texts):
         want = mat_de.tokenize(t)
         got = open(runner.out_path(p), encoding="utf-8").read()
         assert got == want, p
+
+    # unpacked (per-document lanes) must give byte-identical outputs
+    out2 = tmp_path / "out2"
+    runner2 = CorpusRunner(mat_de, str(out2), engine=eng)
+    st2 = {}
+    runner2.run(files, stats=st2, pack_len=0)
+    assert st2["docs"] >= 10
+    for p in files:
+        a = open(runner.out_path(p), encoding="utf-8").read()
+        b = open(runner2.out_path(p), encoding="utf-8").read()
+        assert a == b, p
