@@ -53,6 +53,33 @@ def _counters(ys, length, state, axes):
     return jax.lax.psum(local, axes)
 
 
+def balance_perm(lengths: Sequence[int], n_shards: int) -> np.ndarray:
+    """Length-balancing lane permutation for an ``n_shards`` mesh.
+
+    Lanes are sharded in contiguous blocks along axis 0, so a wave
+    whose long documents cluster gives one shard most of the work and
+    the others idle at the barrier (per-shard step counts are the
+    efficiency number — see ``corpus_stats``).  Snake-deal documents
+    by descending length across shards: shard s receives ranks
+    s, 2n−1−s, 2n+s, … — cumulative work per shard stays within one
+    document of even.  Returns ``perm`` such that submitting
+    ``docs[perm[j]]`` as lane j balances the shards; invert with
+    ``inv[perm] = arange`` to restore input order on the results.
+    """
+    order = np.argsort(
+        -np.asarray(lengths, dtype=np.int64), kind="stable"
+    )
+    shards: List[List[int]] = [[] for _ in range(n_shards)]
+    for i, idx in enumerate(order):
+        s = i % n_shards
+        if (i // n_shards) % 2:
+            s = n_shards - 1 - s
+        shards[s].append(int(idx))
+    return np.asarray(
+        [i for sh in shards for i in sh], dtype=np.int64
+    )
+
+
 class ShardedEngine(BatchEngine):
     """Data-parallel tokenization over a device mesh.
 
@@ -68,6 +95,8 @@ class ShardedEngine(BatchEngine):
         self.axes = tuple(mesh.axis_names)
         self.n_shards = int(np.prod([mesh.shape[a] for a in self.axes]))
         super().__init__(tok, **kwargs)
+        self.last_shard_steps = np.zeros(self.n_shards, np.int32)
+        self.last_padded_lanes = 0
         self._repl = NamedSharding(mesh, P())
         self._lane = NamedSharding(mesh, P(self.axes))
         self._batch = NamedSharding(mesh, P(self.axes, None))
@@ -218,6 +247,11 @@ class ShardedEngine(BatchEngine):
             put(lc), put(stops_a), max_steps=self.max_steps_for(L),
         )
         self.last_counters = stats
+        # per-shard local step counts: the workload is embarrassingly
+        # parallel (no cross-shard communication until the final psum),
+        # so multi-chip efficiency ≈ work balance = mean/max of these
+        self.last_shard_steps = steps
+        self.last_padded_lanes = B - B0
         steps_g = jnp.max(steps)
         return (
             ys[:, :B0] if B0 != B else ys,
@@ -237,6 +271,8 @@ class ShardedEngine(BatchEngine):
         # Padding lanes are empty texts and emit one sentence-end and
         # one text-end each; discount them from the global counters.
         pad = (-len(texts)) % self._lane_quantum()
+        shard_steps = np.asarray(self.last_shard_steps, dtype=np.int64)
+        smax = int(shard_steps.max()) if shard_steps.size else 0
         return {
             "tokens": int(stats[0]),
             "sentences": int(stats[1]) - pad,
@@ -246,4 +282,17 @@ class ShardedEngine(BatchEngine):
             "force_emits": int(stats[5]),
             "fallback_lanes": int(bad.sum()),
             "shards": self.n_shards,
+            # scaling observability (BASELINE.md north star): shards
+            # never communicate until the final counter psum, so
+            # efficiency on a real mesh is work balance × (1 − padded
+            # waste); both are reported per run
+            "shard_steps": shard_steps.tolist(),
+            "balance_efficiency": (
+                round(float(shard_steps.mean()) / smax, 4) if smax else 1.0
+            ),
+            "padded_lanes": int(self.last_padded_lanes),
+            "padded_fraction": round(
+                self.last_padded_lanes
+                / max(1, len(texts) + self.last_padded_lanes), 4
+            ),
         }

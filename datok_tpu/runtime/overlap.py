@@ -59,10 +59,10 @@ from .writer import SIMPLE, TokenWriter
 
 class _Wave:
     __slots__ = ("tags", "docs", "handles", "slot", "events",
-                 "exits", "entries", "breaks")
+                 "exits", "entries", "breaks", "inv")
 
     def __init__(self, tags, docs, handles, slot, entries, breaks,
-                 events=None, exits=None):
+                 events=None, exits=None, inv=None):
         self.tags = tags
         self.docs = docs
         self.handles = handles  # (ev_T, counts, bad, state) device arrays
@@ -71,6 +71,7 @@ class _Wave:
         self.breaks = breaks  # per-doc stream-start markers
         self.events = events  # precomputed (long-doc path)
         self.exits = exits  # precomputed exit contexts (long-doc path)
+        self.inv = inv  # doc→lane map when shard-balanced (else None)
 
 
 class WaveResult:
@@ -131,6 +132,13 @@ def _pack_items(items, pack_len):
                 and tag == ctag
                 and cdoc.endswith("\x04")
                 and len(cdoc) + len(doc) <= pack_len
+                # stop growing once half full: longer lanes amplify
+                # the kernel's cold-stall idling (measured: packing a
+                # mixed corpus to 2048-char lanes ran 4.0 steps/char
+                # vs 1.75 unpacked), so packing pays only for SMALL
+                # documents, where unpacked lanes would waste the
+                # per-wave fixed cost on a few bytes each
+                and len(cdoc) < pack_len // 2
             ):
                 cur = (ctag, cdoc + doc, cbrk)
                 continue
@@ -270,16 +278,35 @@ def waves_pipelined(
                 if stop.is_set():
                     return
                 t0 = _time.time()
+                # shard-aware length balancing: on a mesh engine,
+                # permute docs so every shard's lanes carry equal
+                # work (lanes shard in contiguous blocks; clustered
+                # long docs would idle the other shards at the
+                # barrier).  Results are unpermuted at consume; the
+                # entry chain is order-independent of lane placement.
+                inv = None
+                n_sh = getattr(engine, "n_shards", 1)
+                if n_sh > 1 and len(docs) > n_sh:
+                    from ..parallel.mesh import balance_perm
+
+                    perm = balance_perm([len(d) for d in docs], n_sh)
+                    inv = np.empty_like(perm)
+                    inv[perm] = np.arange(len(perm))
+                    enc_docs = [docs[i] for i in perm]
+                    enc_entries = entries[perm]
+                else:
+                    enc_docs = docs
+                    enc_entries = entries
                 r = (
                     native_encode_wave(
-                        engine.encoder, docs, scratch=slot
+                        engine.encoder, enc_docs, scratch=slot
                     )
                     if native_encode_wave is not None
                     else None
                 )
                 if r is None:
                     slot.pop("cps_offs", None)  # not flat-laid-out
-                    r = engine.encoder.encode_batch(docs)
+                    r = engine.encoder.encode_batch(enc_docs)
                 meta, lengths, cps = r
                 if "cps_offs" in slot:
                     cps_layout = (slot["cps"], slot["cps_offs"], lengths)
@@ -303,7 +330,7 @@ def waves_pipelined(
                 t0 = _time.time()
                 meta_d = jnp.asarray(meta)
                 ys, bad, steps, state = engine.run_raw_device(
-                    meta_d, lengths, entries=entries
+                    meta_d, lengths, entries=enc_entries
                 )
                 # compact at the static step bound: reading the actual
                 # step count here would SYNC the prep thread on the
@@ -314,7 +341,7 @@ def waves_pipelined(
                 q.put(
                     _Wave(tags, docs,
                           (ev_T, counts, bad, state, cps_layout),
-                          slot, entries, breaks)
+                          slot, entries, breaks, inv=inv)
                 )
         except BaseException as e:  # surfaced by the consumer
             err.append(e)
@@ -390,6 +417,24 @@ def waves_pipelined(
             st["fetch"] += _time.time() - t0
             t0 = _time.time()
             tri, counts = decode_events_flat(ev, counts)
+            cps_flat, cps_offs, cps_lens = wave.handles[4]
+            if wave.inv is not None:
+                # restore input order (see shard balancing in prep)
+                inv = wave.inv
+                offs_p = np.zeros(len(counts) + 1, dtype=np.int64)
+                np.cumsum(counts, out=offs_p[1:])
+                tri = (
+                    np.concatenate(
+                        [tri[offs_p[i] : offs_p[i + 1]] for i in inv]
+                    )
+                    if len(counts)
+                    else tri
+                )
+                counts = counts[inv]
+                bad = bad[inv]
+                state = state[inv]
+                cps_offs = np.asarray(cps_offs)[inv]
+                cps_lens = np.asarray(cps_lens)[inv]
             st["decode"] += _time.time() - t0
             st["docs"] += B
             repl = {}
@@ -415,7 +460,6 @@ def waves_pipelined(
                     entry = int(state[k, 0])
             if repl:
                 tri, counts = _splice(tri, counts, repl)
-            cps_flat, cps_offs, cps_lens = cps_layout
             yield WaveResult(
                 wave.tags, wave.docs, tri, counts,
                 cps_flat, cps_offs, cps_lens,

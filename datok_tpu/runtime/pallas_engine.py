@@ -689,6 +689,14 @@ def _run_machine_pallas(
     # pooled lane idles global steps between services, so its own
     # completion needs slack beyond steps_factor × its length.
     max_steps_pad = max_steps + max_steps // 2 + K + 8
+    if has_svc and svc_ns != 0 and rep.S < (1 << 15):
+        # injection mode (set just below): a cold-stalled lane idles
+        # the rest of its round awaiting the next injection, so the
+        # GLOBAL step counter runs ahead of per-lane progress —
+        # heterogeneous batches measure ~3 steps per char-of-L vs 1.5
+        # uniform.  Give the budget that headroom (ys grows with it:
+        # rows × B × 4 bytes).
+        max_steps_pad = max_steps * 2 + K + 8
 
     # cold-entry injection mode: available whenever the packed service
     # table exists, unless explicitly disabled (svc_ns=0 keeps the

@@ -115,3 +115,52 @@ def test_run_corpus_distributed_single_process(mat_de, tmp_path):
     assert stats["processes"] == 1
     out0 = open(tmp_path / "out" / "d0.txt.tok", encoding="utf-8").read()
     assert out0 == mat_de.tokenize("Der 0. Satz hier!\x04")
+
+
+def test_balance_perm_properties():
+    from datok_tpu.parallel.mesh import balance_perm
+
+    lens = [1000, 10, 10, 10, 900, 20, 800, 30, 700, 40, 50, 600,
+            5, 500, 60, 70]
+    perm = balance_perm(lens, 4)
+    assert sorted(perm.tolist()) == list(range(16))
+    # per-shard char totals within one max-doc of even
+    tot = sum(lens)
+    for s in range(4):
+        shard = perm[s * 4 : (s + 1) * 4]
+        work = sum(lens[i] for i in shard)
+        assert abs(work - tot / 4) <= max(lens)
+
+
+def test_sharded_wave_balancing_parity(sharded, mat_de):
+    """waves_pipelined on a mesh engine permutes lanes for shard
+    balance — output must still be byte-identical and in input order,
+    and per-shard step counts near-even on a skewed batch."""
+    from datok_tpu.runtime.overlap import tokenize_stream_pipelined
+    from datok_tpu.runtime.pipeline import tokenize_stream
+
+    # skewed: long docs clustered at the front
+    docs = (
+        ["Lang und länger. " * 50 + "Ende gut!\x04"] * 4
+        + [f"Kurz {i}.\x04" for i in range(28)]
+    )
+    text = "".join(docs)
+    a = tokenize_stream(mat_de, text).getvalue()
+    b = tokenize_stream_pipelined(
+        sharded.tok, text, engine=sharded, pack_len=0
+    ).getvalue()
+    assert a == b
+    steps = np.asarray(sharded.last_shard_steps, dtype=np.int64)
+    assert steps.max() > 0
+    # balanced: no shard does more than ~2x the mean (unbalanced
+    # clustering would give one shard everything)
+    assert steps.max() <= 2 * max(1.0, steps.mean())
+
+
+def test_corpus_stats_scaling_fields(sharded):
+    texts = ["Ein Satz. Und noch einer!\x04"] * 10
+    stats = sharded.corpus_stats(texts)
+    assert len(stats["shard_steps"]) == 8
+    assert 0 < stats["balance_efficiency"] <= 1.0
+    assert stats["padded_lanes"] == 6  # 10 -> 16 lanes at 8 shards
+    assert stats["padded_fraction"] == round(6 / 16, 4)
