@@ -150,7 +150,14 @@ def main(argv=None) -> int:
 
             tok = _load(args.tokenizer)
             runner = CorpusRunner(tok, args.out_dir, flags=make_flags(args))
-            stats = runner.run(args.files, verbose=True)
+            pst = {}
+            stats = runner.run(args.files, verbose=True, stats=pst)
+            # pipeline observability (SURVEY §5 metrics row): stage
+            # seconds, wave/doc counts, host chain repairs
+            stats["pipeline"] = {
+                k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in pst.items()
+            }
             print(json.dumps(stats))
             return 0
         return cmd_tokenize(args)

@@ -446,6 +446,13 @@ def waves_pipelined(
                 # (rare: models whose EOT arcs leave the root) replay
                 # exactly on the host and realign the chain
                 if bad[k] or entry != int(wave.entries[k]):
+                    if bad[k]:
+                        from .debug import (divergence_debug_enabled,
+                                            dump_divergence)
+
+                        if divergence_debug_enabled():
+                            dump_divergence(engine, doc,
+                                            entry=int(entry))
                     st["repairs"] += 1
                     box = []
                     ev_l = transduce_events_fast(

@@ -494,6 +494,19 @@ def events_speculative_batch(
                     break
                 true_evs, drop, spec_prefix = r
                 if drop > len(dec_abs) or dec_abs[:drop] != spec_prefix:
+                    from .debug import divergence_debug_enabled
+
+                    if divergence_debug_enabled():
+                        import sys as _sys
+
+                        print(
+                            f"datok-tpu: speculative-cut divergence "
+                            f"(lane {lane}, seg {j}, cut {cut}); "
+                            f"falling back to exact host replay — "
+                            f"use runtime.debug.dump_divergence on "
+                            f"the document for a step trace",
+                            file=_sys.stderr,
+                        )
                     failed = True  # device↔oracle divergence — be exact
                     break
                 evs.extend(true_evs)
