@@ -88,10 +88,13 @@ class CorpusRunner:
         import numpy as np
 
         from .overlap import waves_pipelined
-        from .pipeline import split_documents
+        from .pipeline import split_stream
 
         skipped = 0
-        pending = []  # (path, text, src_hash, n_bytes)
+        # only (path, src_hash, n_bytes) is held for the whole corpus;
+        # file contents are read and decoded lazily inside items() one
+        # file at a time, so corpus size never bounds resident memory
+        pending = []
         for path in files:
             with open(path, "rb") as f:
                 data = f.read()
@@ -99,14 +102,14 @@ class CorpusRunner:
             if self._done(path, src_hash):
                 skipped += 1
                 continue
-            pending.append(
-                (path, data.decode("utf-8", errors="replace"),
-                 src_hash, len(data))
-            )
+            pending.append((path, src_hash, len(data)))
+            del data
 
         def items():
-            for fi, (_path, text, _h, _n) in enumerate(pending):
-                for j, d in enumerate(split_documents(text)):
+            for fi, (path, _h, _n) in enumerate(pending):
+                with open(path, "rb") as f:
+                    text = f.read().decode("utf-8", errors="replace")
+                for j, d in enumerate(split_stream(self.engine.tok, text)):
                     yield (fi, d, j == 0)
 
         state = {"fi": -1, "w": None, "done": 0, "out": 0}
@@ -117,7 +120,7 @@ class CorpusRunner:
                 return
             w.flush()
             out = w.getvalue().encode("utf-8")
-            path, _text, src_hash, n_in = pending[fi]
+            path, src_hash, n_in = pending[fi]
             with open(self.out_path(path), "wb") as f:
                 f.write(out)
             self.manifest["files"][path] = {
@@ -182,6 +185,6 @@ class CorpusRunner:
             "done": state["done"],
             "skipped": skipped,
             "total": len(files),
-            "bytes_in": sum(p[3] for p in pending),
+            "bytes_in": sum(p[2] for p in pending),
             "bytes_out": state["out"],
         }

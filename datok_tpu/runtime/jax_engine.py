@@ -1231,9 +1231,19 @@ def decode_events_flat(ev, counts):
 
     Lane i's events are the ``counts[i]`` consecutive triples starting
     at ``counts[:i].sum()`` — the zero-copy wave layout the native
-    writer replays in a single call (``dt_writer_feed_wave``)."""
+    writer replays in a single call (``dt_writer_feed_wave``).  Rides
+    the threaded native decoder when available (parity pinned by
+    tests); the numpy path below is the fallback and oracle."""
     ev = np.asarray(ev)
     counts = np.asarray(counts)
+    try:
+        from ..utils.native import native_decode_events
+
+        tri = native_decode_events(ev, counts)
+        if tri is not None:
+            return tri, counts
+    except ImportError:
+        pass
     E = ev.shape[1]
     mask = np.arange(E, dtype=np.int32)[None, :] < counts[:, None]
     flat = ev[mask].astype(np.uint32)  # row-major → per-lane step order
@@ -1516,6 +1526,32 @@ class BatchEngine:
                 from .pallas_engine import PallasSpec
 
                 self.pallas_spec = PallasSpec(self.spec)
+            # mirror of _run_machine_pallas's inj_mode condition: the
+            # injected entry carries the full target id in 15 bits, so
+            # models with ≥ 2^15 states fall back to pooled service
+            # steps — surfaced, not silent, because injection is the
+            # main heterogeneous-batch optimization
+            self.inj_enabled = bool(
+                engine == "pallas"
+                and self.spec.svc_ok
+                and kernel_svc_ns != 0
+                and self.rep.S < (1 << 15)
+            )
+            if (
+                engine == "pallas"
+                and self.spec.svc_ok
+                and kernel_svc_ns != 0
+                and not self.inj_enabled
+            ):
+                import logging
+
+                logging.getLogger("datok_tpu").warning(
+                    "cold-entry injection disabled: model has %d states "
+                    "(>= 2^15 limit of the 15-bit injected target "
+                    "field); heterogeneous batches use pooled service "
+                    "steps instead",
+                    self.rep.S,
+                )
             self.hot_tables = self.spec.device_tables()
             # run marking must use the spec's adaptive skip class; the
             # symbol-class bits feed the fused kernel's compressed fetch
@@ -1772,31 +1808,36 @@ class BatchEngine:
         entries: Optional[np.ndarray] = None,
         return_exits: bool = False,
         as_arrays: bool = False,
+        stops: Optional[np.ndarray] = None,
     ):
         """Boundary events per text (device path, oracle fallback).
 
         ``as_arrays=True`` yields per-text (N, 3) int32 arrays — the
-        shape the native writer feeds without per-tuple conversion."""
-        from .oracle import transduce_events_fast
-
+        shape the native writer feeds without per-tuple conversion.
+        ``stops[i]`` runs lane i as a *cut* (stop at segment end, no
+        EOF epilogue) — the stream-exact dispatch for chunks ending in
+        an interior EOT (see pipeline.transduce_doc_exact)."""
         if not texts:
             return ([], np.zeros(0, np.int32)) if return_exits else []
         meta, lengths, _cps = self.encoder.encode_batch(texts)
-        ys, bad, n_steps, state = self.run_raw(meta, lengths, entries)
+        ys, bad, n_steps, state = self.run_raw(meta, lengths, entries, stops)
         decoded = decode_events_batch(ys, n_steps, as_arrays=as_arrays)
         exits = state[:, 0].copy()
         out = []
         for i, text in enumerate(texts):
             if bad[i]:
+                from .pipeline import transduce_doc_exact
+
                 e0 = int(entries[i]) if entries is not None else 1
-                box = []
-                ev = transduce_events_fast(
-                    self.tok, text, entry_state=e0, exit_box=box
+                ev, ex = transduce_doc_exact(
+                    self.tok, text, e0,
+                    bool(stops[i]) if stops is not None else False,
+                    encoder=self.encoder,
                 )
                 if as_arrays:
                     ev = np.asarray(ev, dtype=np.int32).reshape(-1, 3)
                 out.append(ev)
-                exits[i] = box[0] if box else 1
+                exits[i] = ex
             else:
                 out.append(decoded[i])
         if return_exits:

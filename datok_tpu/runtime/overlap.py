@@ -53,16 +53,16 @@ from .jax_engine import (
     BatchEngine,
     decode_events_flat,
 )
-from .oracle import transduce_events_fast
 from .writer import SIMPLE, TokenWriter
 
 
 class _Wave:
     __slots__ = ("tags", "docs", "handles", "slot", "events",
-                 "exits", "entries", "breaks", "inv")
+                 "exits", "entries", "breaks", "inv", "cuts", "n_enc")
 
     def __init__(self, tags, docs, handles, slot, entries, breaks,
-                 events=None, exits=None, inv=None):
+                 events=None, exits=None, inv=None, cuts=None,
+                 n_enc=0):
         self.tags = tags
         self.docs = docs
         self.handles = handles  # (ev_T, counts, bad, state) device arrays
@@ -72,6 +72,8 @@ class _Wave:
         self.events = events  # precomputed (long-doc path)
         self.exits = exits  # precomputed exit contexts (long-doc path)
         self.inv = inv  # doc→lane map when shard-balanced (else None)
+        self.cuts = cuts  # per-doc: dispatched as interior-EOT cut
+        self.n_enc = n_enc  # encoded lane count (docs + shape pads)
 
 
 class WaveResult:
@@ -130,6 +132,7 @@ def _pack_items(items, pack_len):
             if (
                 not brk
                 and tag == ctag
+                and doc != ""  # the epilogue sentinel stays its own item
                 and cdoc.endswith("\x04")
                 and len(cdoc) + len(doc) <= pack_len
                 # stop growing once half full: longer lanes amplify
@@ -175,6 +178,14 @@ def _assemble(items, lanes, max_wave_chars):
         yield ("wave", batch)
 
 
+def _bucket(n: int, lo: int) -> int:
+    """Smallest power-of-two ≥ ``n`` that is ≥ ``lo``."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
 def _splice(tri, counts, repl):
     """Replace document k's event rows with ``repl[k]`` (host repairs)."""
     offs = np.zeros(len(counts) + 1, dtype=np.int64)
@@ -201,8 +212,15 @@ def waves_pipelined(
     long_seg_len: int = 8192,
     pack_len: int = 0,
     stats: Optional[dict] = None,
+    copy_cps: bool = False,
 ) -> Iterator[WaveResult]:
     """Yield :class:`WaveResult` per wave, in input order.
+
+    ``copy_cps=True`` copies each wave's ``cps_flat`` out of the reused
+    encode scratch slot, so the :class:`WaveResult` stays valid after
+    the generator is advanced.  The default (zero-copy) alias is the
+    fast path for consumers that format before calling ``next()`` —
+    the contract in :class:`WaveResult`'s docstring.
 
     ``pack_len`` > 0 merges consecutive same-tag documents into
     ≤pack_len-char lanes (see :func:`_pack_items`) — large throughput
@@ -226,7 +244,8 @@ def waves_pipelined(
 
     from .encode import text_to_codepoints
     from .jax_engine import _compact_ys
-    from .pipeline import events_speculative_batch, predict_entries
+    from .pipeline import (eot_in_sigma, events_speculative_batch,
+                           predict_entries, transduce_doc_exact)
 
     try:
         from ..utils.native import native_encode_wave
@@ -247,6 +266,8 @@ def waves_pipelined(
     for k in ("waves", "docs", "repairs", "long_docs"):
         st.setdefault(k, 0)
 
+    can_cut = eot_in_sigma(engine.tok)
+
     def prep():
         pred = 1  # prep-side predicted entry chain (host, cheap)
         try:
@@ -256,6 +277,10 @@ def waves_pipelined(
                 tags = [t for t, _, _ in batch]
                 docs = [d for _, d, _ in batch]
                 breaks = [b for _, _, b in batch]
+                # interior-EOT chunks run as CUTS (no EOF epilogue) —
+                # the stream-exact dispatch; the stream-final epilogue
+                # arrives as split_documents' empty sentinel chunk
+                cuts = [can_cut and d.endswith("\x04") for d in docs]
                 entries, pred = predict_entries(
                     engine.encoder, docs, entry=pred, breaks=breaks
                 )
@@ -264,7 +289,7 @@ def waves_pipelined(
                     # (its own device waves + host cut verification)
                     evs, exits = events_speculative_batch(
                         engine, docs, seg_len=long_seg_len,
-                        entries=entries,
+                        entries=entries, stops=cuts,
                     )
                     evs = [
                         np.asarray(e, dtype=np.int32).reshape(-1, 3)
@@ -272,41 +297,67 @@ def waves_pipelined(
                     ]
                     st["long_docs"] += len(docs)
                     q.put(_Wave(tags, docs, None, None, entries,
-                                breaks, events=evs, exits=exits))
+                                breaks, events=evs, exits=exits,
+                                cuts=cuts))
                     continue
                 slot = free.get()  # backpressure: ring of reusable slots
                 if stop.is_set():
                     return
                 t0 = _time.time()
+                # Compile-shape bucketing: encode every wave at a
+                # power-of-two padded length and lane count so natural
+                # mixed-length corpora reuse a handful of compiled
+                # machine shapes instead of re-tracing the jitted
+                # device machine (multi-second XLA/Mosaic compiles)
+                # per distinct (L, B) pair.  Tail-lane pads are empty
+                # docs: their lanes run the trivial epilogue and the
+                # consumer drops their events.
+                L_max = max((len(d) for d in docs), default=1)
+                L_pad = min(_bucket(max(L_max, 1), 128), MAX_SEGMENT)
+                B_real = len(docs)
+                B_pad = _bucket(max(B_real, 1), 8)
+                full_docs = list(docs) + [""] * (B_pad - B_real)
+                full_entries = np.concatenate(
+                    [
+                        np.asarray(entries, dtype=np.int32),
+                        np.ones(B_pad - B_real, dtype=np.int32),
+                    ]
+                )
                 # shard-aware length balancing: on a mesh engine,
-                # permute docs so every shard's lanes carry equal
-                # work (lanes shard in contiguous blocks; clustered
-                # long docs would idle the other shards at the
-                # barrier).  Results are unpermuted at consume; the
-                # entry chain is order-independent of lane placement.
+                # permute lanes (pads included — lanes shard in
+                # contiguous blocks) so every shard carries equal
+                # work.  Results are unpermuted at consume via
+                # inv[:B_real]; the entry chain is order-independent
+                # of lane placement.
                 inv = None
                 n_sh = getattr(engine, "n_shards", 1)
-                if n_sh > 1 and len(docs) > n_sh:
+                if n_sh > 1 and B_real > n_sh:
                     from ..parallel.mesh import balance_perm
 
-                    perm = balance_perm([len(d) for d in docs], n_sh)
-                    inv = np.empty_like(perm)
-                    inv[perm] = np.arange(len(perm))
-                    enc_docs = [docs[i] for i in perm]
-                    enc_entries = entries[perm]
+                    perm = balance_perm(
+                        [len(d) for d in full_docs], n_sh
+                    )
+                    inv_full = np.empty_like(perm)
+                    inv_full[perm] = np.arange(len(perm))
+                    enc_docs = [full_docs[i] for i in perm]
+                    enc_entries = full_entries[perm]
+                    inv = inv_full[:B_real]
                 else:
-                    enc_docs = docs
-                    enc_entries = entries
+                    enc_docs = full_docs
+                    enc_entries = full_entries
                 r = (
                     native_encode_wave(
-                        engine.encoder, enc_docs, scratch=slot
+                        engine.encoder, enc_docs, pad_to=L_pad,
+                        scratch=slot,
                     )
                     if native_encode_wave is not None
                     else None
                 )
                 if r is None:
                     slot.pop("cps_offs", None)  # not flat-laid-out
-                    r = engine.encoder.encode_batch(enc_docs)
+                    r = engine.encoder.encode_batch(
+                        enc_docs, pad_to=L_pad
+                    )
                 meta, lengths, cps = r
                 if "cps_offs" in slot:
                     cps_layout = (slot["cps"], slot["cps_offs"], lengths)
@@ -328,9 +379,14 @@ def waves_pipelined(
                     )
                 st["encode"] += _time.time() - t0
                 t0 = _time.time()
+                stops_w = np.array(
+                    [can_cut and d.endswith("\x04") for d in enc_docs],
+                    dtype=bool,
+                )
                 meta_d = jnp.asarray(meta)
                 ys, bad, steps, state = engine.run_raw_device(
-                    meta_d, lengths, entries=enc_entries
+                    meta_d, lengths, entries=enc_entries,
+                    stops=stops_w if stops_w.any() else None,
                 )
                 # compact at the static step bound: reading the actual
                 # step count here would SYNC the prep thread on the
@@ -341,7 +397,8 @@ def waves_pipelined(
                 q.put(
                     _Wave(tags, docs,
                           (ev_T, counts, bad, state, cps_layout),
-                          slot, entries, breaks, inv=inv)
+                          slot, entries, breaks, inv=inv, cuts=cuts,
+                          n_enc=len(enc_docs))
                 )
         except BaseException as e:  # surfaced by the consumer
             err.append(e)
@@ -367,15 +424,13 @@ def waves_pipelined(
                         entry = 1  # fresh stream: root by definition
                     if entry != int(wave.entries[k]):
                         st["repairs"] += 1
-                        box: List[int] = []
-                        ev_l = transduce_events_fast(
-                            engine.tok, doc, entry_state=int(entry),
-                            exit_box=box,
+                        ev_l, entry = transduce_doc_exact(
+                            engine.tok, doc, int(entry),
+                            bool(wave.cuts[k]), encoder=engine.encoder,
                         )
                         repl[k] = np.asarray(
                             ev_l, dtype=np.int32
                         ).reshape(-1, 3)
-                        entry = box[0] if box else 1
                     else:
                         entry = int(wave.exits[k])
                 evs = [repl.get(k, e) for k, e in enumerate(wave.events)]
@@ -402,8 +457,13 @@ def waves_pipelined(
 
             ev_T, counts_d, bad_d, state_d, cps_layout = wave.handles
             B = len(wave.docs)
+            # shard-balanced waves scatter real docs over all encoded
+            # lanes (pads included in the permutation); fetch every
+            # encoded lane and unpermute.  Unbalanced waves keep real
+            # docs in the first B lanes — fetch only those.
+            Bf = wave.n_enc if wave.inv is not None else B
             t0 = _time.time()
-            counts = np.asarray(counts_d[:B])
+            counts = np.asarray(counts_d[:Bf])
             cmax = int(counts.max()) if counts.size else 0
             E = 32
             while E < cmax:
@@ -411,15 +471,16 @@ def waves_pipelined(
             E = min(E, ev_T.shape[1])
             # slice on device: padding lanes and empty columns never
             # cross the (bottleneck) device→host link
-            ev = np.asarray(ev_T[:B, :E])
-            bad = np.asarray(bad_d[:B])
-            state = np.asarray(state_d[:B])
+            ev = np.asarray(ev_T[:Bf, :E])
+            bad = np.asarray(bad_d[:Bf])
+            state = np.asarray(state_d[:Bf])
             st["fetch"] += _time.time() - t0
             t0 = _time.time()
             tri, counts = decode_events_flat(ev, counts)
             cps_flat, cps_offs, cps_lens = wave.handles[4]
             if wave.inv is not None:
-                # restore input order (see shard balancing in prep)
+                # restore input order (see shard balancing in prep);
+                # inv[:B] drops the shape-pad lanes
                 inv = wave.inv
                 offs_p = np.zeros(len(counts) + 1, dtype=np.int64)
                 np.cumsum(counts, out=offs_p[1:])
@@ -427,8 +488,8 @@ def waves_pipelined(
                     np.concatenate(
                         [tri[offs_p[i] : offs_p[i + 1]] for i in inv]
                     )
-                    if len(counts)
-                    else tri
+                    if len(inv)
+                    else tri[:0]
                 )
                 counts = counts[inv]
                 bad = bad[inv]
@@ -454,19 +515,19 @@ def waves_pipelined(
                             dump_divergence(engine, doc,
                                             entry=int(entry))
                     st["repairs"] += 1
-                    box = []
-                    ev_l = transduce_events_fast(
-                        engine.tok, doc, entry_state=int(entry),
-                        exit_box=box,
+                    ev_l, entry = transduce_doc_exact(
+                        engine.tok, doc, int(entry),
+                        bool(wave.cuts[k]), encoder=engine.encoder,
                     )
                     repl[k] = np.asarray(
                         ev_l, dtype=np.int32
                     ).reshape(-1, 3)
-                    entry = box[0] if box else 1
                 else:
                     entry = int(state[k, 0])
             if repl:
                 tri, counts = _splice(tri, counts, repl)
+            if copy_cps:
+                cps_flat = np.array(cps_flat, copy=True)
             yield WaveResult(
                 wave.tags, wave.docs, tri, counts,
                 cps_flat, cps_offs, cps_lens,
@@ -485,7 +546,20 @@ def waves_pipelined(
                     free.put(w.slot)
         except queue.Empty:
             pass
-        t.join(timeout=30)
+        # stop is set and the slot ring is drained, so the prep thread
+        # exits after at most one in-flight wave; join without a
+        # practical timeout, but surface a warning instead of silently
+        # leaving a daemon thread issuing device work (ADVICE r3)
+        t.join(timeout=300)
+        if t.is_alive():
+            import warnings
+
+            warnings.warn(
+                "datok-prep thread did not exit within 300s; it may "
+                "still be issuing device work on this engine",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def events_pipelined(
@@ -532,14 +606,14 @@ def tokenize_stream_pipelined(
     GIL-releasing C call.
     """
     from .events import replay_events
-    from .pipeline import split_documents
+    from .pipeline import split_stream
 
     w = writer if writer is not None else TokenWriter(
         SIMPLE if flags is None else flags
     )
     if engine is None:
         engine = BatchEngine(tok)
-    docs = split_documents(text)
+    docs = split_stream(engine.tok, text)
     feed_wave = getattr(w, "feed_wave", None)
     feed = getattr(w, "feed", None)
     st = stats if stats is not None else {}

@@ -42,8 +42,17 @@ from .oracle import transduce_events, transduce_events_fast
 from .writer import SIMPLE, TokenWriter
 
 
-def split_documents(text: str) -> List[str]:
-    """Split a stream into chunks, each ending just after an EOT."""
+def split_documents(text: str, epilogue_sentinel: bool = True) -> List[str]:
+    """Split a stream into chunks, each ending just after an EOT.
+
+    ``epilogue_sentinel`` appends an EMPTY final chunk when the stream
+    ends exactly at an EOT: documents ending in ``\\x04`` are
+    transduced as *cuts* (no EOF epilogue — the stream continues past
+    an interior EOT, matrix.go:593-605 vs 637-697), so the stream-final
+    epilogue (trailing ε chase + implicit ends from the post-EOT state)
+    runs as its own zero-length chunk chained from the last exit
+    context.  ``"".join(result) == text`` either way.
+    """
     out = []
     start = 0
     while True:
@@ -54,7 +63,75 @@ def split_documents(text: str) -> List[str]:
         start = i + 1
     if start < len(text) or not out:
         out.append(text[start:])
+    elif epilogue_sentinel:
+        out.append("")
     return out
+
+
+def eot_in_sigma(tok) -> bool:
+    """True if ``\\x04`` is a real sigma symbol of the model.
+
+    This is the property that makes EOT-boundary *cuts* clean: the
+    ``eot`` flag set at the read of a real EOT symbol provably survives
+    to a buffer rewind (success → EOT rewind, matrix.go:593-605; hard
+    fail → force-emit rewind, matrix.go:499-551 — the only flag-dropping
+    path, the identity→unknown retry, requires the symbol to BE the
+    identity fallback, i.e. ``\\x04`` absent from sigma).  So a document
+    ending in ``\\x04`` always leaves the machine at ``b == c == len``
+    with cleared backtrack registers, and its packed exit context fully
+    determines the stream continuation.  Models WITHOUT ``\\x04`` in
+    sigma may consume it as a plain unknown character mid-token; for
+    those, splitting at EOT is not exact at all and the stream must be
+    processed as one document (the long-document machinery is exact for
+    any model).
+    """
+    return 4 in tok.sigma
+
+
+def split_stream(tok, text: str) -> List[str]:
+    """Model-aware stream split: EOT chunks + epilogue sentinel when
+    EOT cuts are provably clean (:func:`eot_in_sigma`), else the whole
+    stream as one document."""
+    if eot_in_sigma(tok):
+        return split_documents(text, epilogue_sentinel=True)
+    return [text]
+
+
+def transduce_doc_exact(tok, doc: str, entry: int, cut: bool,
+                        encoder=None):
+    """Host-exact transduce of one stream chunk; returns
+    ``(events, exit_ctx)``.
+
+    ``cut=True`` (a chunk ending in ``\\x04`` interior to its stream)
+    stops at ``len(doc)`` with no EOF epilogue — the stream-exact
+    semantics; ``cut=False`` runs the full walk with the epilogue (a
+    stream-final chunk).  Native cut walk / native transduce when
+    available, Python oracle otherwise.
+    """
+    if not cut:
+        box: List[int] = []
+        ev = transduce_events_fast(
+            tok, doc, entry_state=int(entry), exit_box=box
+        )
+        return ev, (box[0] if box else 1)
+    metas = _full_doc_metas(encoder, doc) if encoder is not None else None
+    ev, rw = _cut_walk(tok, doc, metas, int(entry), 0, len(doc))
+    pos, ctx, nev = rw[-1]
+    if pos == len(doc) and nev == len(ev):
+        return list(ev), int(ctx)
+    # Unreachable for eot_in_sigma models (see above); defensive exact
+    # fallback: full walk with epilogue (pre-cut-dispatch behavior).
+    import logging
+
+    logging.getLogger("datok_tpu").warning(
+        "EOT-ending chunk left an unclean cut (b=%d != len=%d); "
+        "running with EOF epilogue instead", pos, len(doc),
+    )
+    box2: List[int] = []
+    ev2 = transduce_events_fast(
+        tok, doc, entry_state=int(entry), exit_box=box2
+    )
+    return ev2, (box2[0] if box2 else 1)
 
 
 def eot_split_safe(tok) -> bool:
@@ -197,6 +274,7 @@ def events_long_batch(
     docs: Sequence[str],
     seg_len: int = 8192,
     entries: Optional[np.ndarray] = None,
+    stops=None,
 ):
     """Transduce long documents on device via chained segmentation.
 
@@ -216,8 +294,6 @@ def events_long_batch(
 
     Returns (events, exit_ctxs) with absolute positions per document.
     """
-    from .oracle import transduce_events_fast
-
     n = len(docs)
     events: List[List] = [[] for _ in range(n)]
     pos = [0] * n  # current segment origin per doc
@@ -225,17 +301,20 @@ def events_long_batch(
     if entries is not None:
         ctx[:] = entries
     orig_entry = ctx.copy()
+    # stops[k]: doc k ends in EOT interior to its stream — its FINAL
+    # segment also cuts (no EOF epilogue), see transduce_doc_exact
+    doc_stop = np.zeros(n, dtype=bool)
+    if stops is not None:
+        doc_stop[:] = stops
     done = [len(d) == 0 for d in docs]
     exit_ctx = np.ones(n, dtype=np.int32)
 
     def host_whole_doc(k: int) -> None:
         """Exact host fallback: redo document k from scratch."""
-        box: List[int] = []
-        evs = transduce_events_fast(
-            engine.tok, docs[k], entry_state=int(orig_entry[k]), exit_box=box
+        events[k], exit_ctx[k] = transduce_doc_exact(
+            engine.tok, docs[k], int(orig_entry[k]), bool(doc_stop[k]),
+            encoder=engine.encoder,
         )
-        events[k] = list(evs)
-        exit_ctx[k] = box[0] if box else 1
         done[k] = True
 
     while not all(done):
@@ -251,7 +330,7 @@ def events_long_batch(
             meta,
             lengths,
             entries=ctx[lanes],
-            stops=~np.asarray(is_last),
+            stops=~np.asarray(is_last) | doc_stop[lanes],
         )
         decoded = decode_events_batch_from(ys, n_steps)
         for j, k in enumerate(lanes):
@@ -394,6 +473,7 @@ def events_speculative_batch(
     seg_len: int = 8192,
     entries: Optional[np.ndarray] = None,
     max_lanes: int = 4096,
+    stops=None,
 ):
     """Transduce long documents via *speculative* segmentation.
 
@@ -417,6 +497,9 @@ def events_speculative_batch(
     ent = np.ones(n, dtype=np.int32)
     if entries is not None:
         ent[:] = entries
+    doc_stop = np.zeros(n, dtype=bool)
+    if stops is not None:
+        doc_stop[:] = stops
 
     # ---- lane plan: all segments of all documents -----------------------
     doc_cuts: List[List[int]] = []
@@ -442,7 +525,9 @@ def events_speculative_batch(
             lanes.append(len(lane_text))
             lane_text.append(doc[cut : cut + seg_len])
             lane_entry.append(e)
-            lane_stop.append(j < len(cuts) - 1)
+            # the final segment of an EOT-interior doc cuts too (the
+            # stream-final epilogue is a separate sentinel chunk)
+            lane_stop.append(j < len(cuts) - 1 or bool(doc_stop[k]))
         lane_of.append(lanes)
         spec_entry_of.append(spec_entries)
 
@@ -536,6 +621,7 @@ def events_speculative_batch(
             [docs[k] for k in chained_fallback],
             seg_len=seg_len,
             entries=ent[chained_fallback],
+            stops=doc_stop[chained_fallback],
         )
         for k, ev, ex in zip(chained_fallback, evs_c, exits_c):
             events[k] = ev
@@ -671,6 +757,15 @@ def _run_docs(
     n = len(docs)
     verified_safe = eot_split_safe(tok) and entry == 1
 
+    # stream-exact cut dispatch: chunks ending in EOT stop at their end
+    # (no EOF epilogue — the stream continues there); the epilogue runs
+    # in the stream-final chunk (split_documents' sentinel).  Gated on
+    # eot_in_sigma, which proves such cuts are clean (rewound).
+    can_cut = eot_in_sigma(engine.tok)
+    cuts = np.array(
+        [can_cut and d.endswith("\x04") for d in docs], dtype=bool
+    )
+
     # speculative entries: predicted post-EOT contexts (root + end
     # flags + chained stale-ok) — these verify on the first round for
     # ordinary corpora; bare-root speculation re-ran every document
@@ -685,16 +780,14 @@ def _run_docs(
         if rounds > n + 2:  # defensive: should converge in <= n rounds
             for k in range(n):
                 if not have[k]:
-                    box: List[int] = []
                     # entries[] hold state ids in the *engine's*
                     # representation (BatchEngine may convert DATOK →
                     # MATOK, whose dense ids differ from DA slot ids
                     # beyond the root) — walk engine.tok, not tok
-                    events[k] = transduce_events_fast(
-                        engine.tok, docs[k], entry_state=int(entries[k]),
-                        exit_box=box,
+                    events[k], exits[k] = transduce_doc_exact(
+                        engine.tok, docs[k], int(entries[k]),
+                        bool(cuts[k]), encoder=engine.encoder,
                     )
-                    exits[k] = box[0] if box else 1
                     have[k] = True
             break
         todo = [k for k in range(n) if not have[k]]
@@ -713,6 +806,7 @@ def _run_docs(
                     entries=entries[small],
                     return_exits=True,
                     as_arrays=as_arrays,
+                    stops=cuts[small],
                 )
                 for k, ev, ex in zip(small, evs, exs):
                     events[k] = ev
@@ -733,7 +827,8 @@ def _run_docs(
                     events_speculative_batch if spec else events_long_batch
                 )
                 evs_l, exits_l = run_long(
-                    engine, [docs[k] for k in large], entries=entries[large]
+                    engine, [docs[k] for k in large],
+                    entries=entries[large], stops=cuts[large],
                 )
                 for k, ev, ex in zip(large, evs_l, exits_l):
                     events[k] = ev
@@ -793,7 +888,7 @@ def tokenize_stream(
     if engine is None:
         engine = BatchEngine(tok, accelerated=accelerated)
 
-    docs = split_documents(text)
+    docs = split_stream(engine.tok, text)
     events, _exit = _run_docs(
         tok,
         engine,
@@ -841,7 +936,7 @@ def tokenize_reader(
     dec = codecs.getincrementaldecoder("utf-8")(errors="replace")
     ctx = 1  # packed machine context carried across chunk boundaries
     tail = ""
-    processed_any = False
+    can_cut = eot_in_sigma(engine.tok)
     while True:
         data = reader.read(chunk_bytes)
         at_eof = not data
@@ -856,17 +951,23 @@ def tokenize_reader(
         if not new:  # pure UTF-8 continuation bytes
             continue
         text = tail + new
-        docs = split_documents(text)
-        # trailing doc is unterminated unless the chunk ended in EOT
-        partial = "" if docs[-1].endswith("\x04") else docs[-1]
-        complete = docs[:-1] if partial or not docs[-1] else docs
+        if can_cut:
+            docs = split_documents(text, epilogue_sentinel=False)
+            # trailing doc is unterminated unless the chunk ended in EOT
+            partial = "" if docs[-1].endswith("\x04") else docs[-1]
+            complete = docs[:-1] if partial or not docs[-1] else docs
+        else:
+            # EOT cuts not provably clean for this model: no document
+            # splitting; the checkpoint machinery below is exact
+            partial, complete = text, []
         if complete and any(complete):
+            # mid-stream chunks all end in EOT and run as CUTS — the
+            # stream-final epilogue runs after the read loop
             events, ctx = _run_docs(
                 tok, engine, complete, entry=ctx, max_lanes=max_lanes,
                 as_arrays=getattr(w, "feed", None) is not None,
             )
             _replay_docs(complete, events, w)
-            processed_any = True
         if len(partial) >= 2 * seg_len:
             evs, ck_pos, ck_ctx = events_until_checkpoint(
                 engine, partial, entry=ctx, seg_len=seg_len,
@@ -874,21 +975,19 @@ def tokenize_reader(
             )
             if evs:
                 _replay_docs([partial[:ck_pos]], [evs], w)
-                processed_any = True
             tail = partial[ck_pos:]
             ctx = ck_ctx
         else:
             tail = partial
-    # EOF epilogue: the remaining tail runs to completion (implicit
-    # sentence/text ends, matrix.go:637-697). A stream that ended
-    # exactly at an EOT already emitted its ends inside that document —
-    # only a truly empty stream still owes the reference's "\n\n".
-    if tail or not processed_any:
-        docs = split_documents(tail)
-        events, ctx = _run_docs(
-            tok, engine, docs, entry=ctx, max_lanes=max_lanes,
-            as_arrays=getattr(w, "feed", None) is not None,
-        )
-        _replay_docs(docs, events, w)
+    # EOF: the remaining tail (possibly empty) runs to completion from
+    # the carried context — including the stream-final epilogue when
+    # the stream ended exactly at an EOT (split_stream's sentinel;
+    # matrix.go:637-697) and the reference's "\n\n" for empty streams.
+    docs = split_stream(engine.tok, tail)
+    events, ctx = _run_docs(
+        tok, engine, docs, entry=ctx, max_lanes=max_lanes,
+        as_arrays=getattr(w, "feed", None) is not None,
+    )
+    _replay_docs(docs, events, w)
     w.flush()
     return w

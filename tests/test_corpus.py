@@ -87,8 +87,10 @@ def test_corpus_shared_wave_chain_breaks(mat_de, tmp_path):
     stats = runner.run(files, stats=st)
     assert stats["done"] == 4
     # lane packing merges each file's documents into one superdoc
-    # (all files here are short); file boundaries never pack together
-    assert st["docs"] == 4
+    # (all files here are short); file boundaries never pack together.
+    # The EOT-terminated file contributes one extra chunk: its stream-
+    # final epilogue sentinel (split_documents), which never packs.
+    assert st["docs"] == 5
     for p, t in zip(files, texts):
         want = mat_de.tokenize(t)
         got = open(runner.out_path(p), encoding="utf-8").read()

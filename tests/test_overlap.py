@@ -72,13 +72,17 @@ def test_no_host_repairs_on_predicted_chain(engines, monkeypatch):
     bare-root speculation silently re-ran every document."""
     eng = engines["de"]
     calls = []
-    orig = overlap.transduce_events_fast
+    import datok_tpu.runtime.pipeline as P
+
+    orig = P.transduce_doc_exact
 
     def spy(*a, **k):
         calls.append(1)
         return orig(*a, **k)
 
-    monkeypatch.setattr(overlap, "transduce_events_fast", spy)
+    # repairs route through transduce_doc_exact, imported from
+    # pipeline at generator start — patch the pipeline binding
+    monkeypatch.setattr(P, "transduce_doc_exact", spy)
     tokenize_stream_pipelined(eng.tok, STREAM, engine=eng, lanes=5)
     assert calls == []
 

@@ -15,7 +15,12 @@ def test_split_documents():
     assert split_documents("a\x04b\x04c") == ["a\x04", "b\x04", "c"]
     assert split_documents("abc") == ["abc"]
     assert split_documents("") == [""]
-    assert split_documents("\x04") == ["\x04"]
+    # EOT-terminated streams gain the empty epilogue-sentinel chunk
+    # (documents ending in EOT run as cuts; the stream-final epilogue
+    # runs in the sentinel) — "".join stays the identity either way
+    assert split_documents("\x04") == ["\x04", ""]
+    assert split_documents("a\x04b\x04") == ["a\x04", "b\x04", ""]
+    assert split_documents("\x04", epilogue_sentinel=False) == ["\x04"]
 
 
 def test_eot_split_safe(mat_de, dat_de):
@@ -117,6 +122,11 @@ def test_long_document_segmentation(mat_de, monkeypatch):
         host_docs.append(text[:8])
         return orig_fast(tok, text, *a, **k)
     monkeypatch.setattr(O, "transduce_events_fast", spy_fast)
+    # the host fallback routes through transduce_doc_exact, which uses
+    # pipeline's module-level import binding — patch that one too
+    import datok_tpu.runtime.pipeline as P
+
+    monkeypatch.setattr(P, "transduce_events_fast", spy_fast)
 
     eng = BatchEngine(mat_de)
     base = (
@@ -180,9 +190,11 @@ def test_speculative_segmentation(mat_de, monkeypatch):
     monkeypatch.setattr(
         P,
         "events_long_batch",
-        lambda engine, docs, seg_len=8192, entries=None: (
+        lambda engine, docs, seg_len=8192, entries=None, **kw: (
             fallbacks.extend(d[:8] for d in docs),
-            orig_chained(engine, docs, seg_len=seg_len, entries=entries),
+            orig_chained(
+                engine, docs, seg_len=seg_len, entries=entries, **kw
+            ),
         )[1],
     )
 
