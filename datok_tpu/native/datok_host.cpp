@@ -136,8 +136,14 @@ int64_t dt_encode2(const uint8_t* data, int64_t n, const int32_t* ascii_tab,
   if (cls_tab != nullptr) {
     for (int64_t i = 0; i < out; i++) {
       int32_t a = metas[i] & 0xFFFF;
-      int32_t c = (a >= 0 && a < n_cls) ? cls_tab[a] : 0;
-      metas[i] |= c << META_CLS_SHIFT;
+      // clip exactly like the numpy encoder (np.clip(a, 0, n_cls-1)):
+      // ids past the table read its last entry, keeping the two
+      // encoders bit-identical by construction even for ids that
+      // cannot occur with packer-produced tables
+      if (n_cls > 0) {
+        int32_t ac = a < 0 ? 0 : (a < n_cls ? a : (int32_t)n_cls - 1);
+        metas[i] |= cls_tab[ac] << META_CLS_SHIFT;
+      }
     }
   }
   return out;
@@ -750,6 +756,116 @@ void dt_writer_feed_wave(DtWriter* w, const int32_t* ev,
                    cps_lens[i]);
     off += ev_counts[i];
   }
+}
+
+// Multithreaded wave replay: split the wave's documents into chunks
+// at CLEAN writer boundaries (a document whose final event is a TEXT
+// end — after TextEnd every writer register is reset,
+// token_writer.go:130-167), format each chunk into a private writer
+// on its own OS thread, then concatenate the chunk outputs in order.
+// Chunk 0 inherits the parent writer's carried state; later chunks
+// start in the canonical post-TextEnd state (init=false: they are
+// never the stream's first text, so the NEWLINE_AFTER_EOT discount
+// applies normally).  The parent adopts the last chunk's state.
+// Byte-identical to the serial feed by construction.
+void dt_writer_feed_wave_mt(DtWriter* w, const int32_t* ev,
+                            const int32_t* ev_counts, int64_t n_docs,
+                            const int32_t* cps, const int64_t* cps_offs,
+                            const int32_t* cps_lens, int n_threads) {
+  if (n_threads <= 1 || n_docs < 4) {
+    dt_writer_feed_wave(w, ev, ev_counts, n_docs, cps, cps_offs, cps_lens);
+    return;
+  }
+  std::vector<int64_t> ev_off(n_docs + 1);
+  int64_t total_cps = 0;
+  for (int64_t i = 0; i < n_docs; i++) {
+    ev_off[i + 1] = ev_off[i] + ev_counts[i];
+    total_cps += cps_lens[i];
+  }
+  // clean boundary AFTER doc i ⇔ its last event is TEXT (kind 3)
+  // greedy chunking toward equal codepoint shares
+  std::vector<int64_t> starts;
+  starts.push_back(0);
+  int64_t target = total_cps / n_threads + 1;
+  int64_t acc = 0;
+  for (int64_t i = 0; i < n_docs - 1; i++) {
+    acc += cps_lens[i];
+    bool clean = ev_counts[i] > 0 && ev[(ev_off[i + 1] - 1) * 3] == 3;
+    if (clean && acc >= target && (int64_t)starts.size() < n_threads) {
+      starts.push_back(i + 1);
+      acc = 0;
+    }
+  }
+  int64_t n_chunks = (int64_t)starts.size();
+  if (n_chunks <= 1) {
+    dt_writer_feed_wave(w, ev, ev_counts, n_docs, cps, cps_offs, cps_lens);
+    return;
+  }
+  starts.push_back(n_docs);
+  std::vector<DtWriter> locals(n_chunks);
+  for (int64_t c = 0; c < n_chunks; c++) {
+    locals[c].flags = w->flags;
+    if (c == 0) {
+      locals[c].pos_c = w->pos_c;
+      locals[c].pos = w->pos;
+      locals[c].sent_b = w->sent_b;
+      locals[c].sent = w->sent;
+      locals[c].init = w->init;
+    } else {
+      locals[c].init = false;
+    }
+  }
+  std::vector<std::thread> ths;
+  for (int64_t c = 0; c < n_chunks; c++) {
+    int64_t lo = starts[c], hi = starts[c + 1];
+    ths.emplace_back([&, c, lo, hi]() {
+      dt_writer_feed_wave(&locals[c], ev + ev_off[lo] * 3, ev_counts + lo,
+                          hi - lo, cps, cps_offs + lo, cps_lens + lo);
+    });
+  }
+  for (auto& t : ths) t.join();
+  size_t add = 0;
+  for (auto& l : locals) add += l.out.size();
+  w->out.reserve(w->out.size() + add);
+  for (auto& l : locals) w->out += l.out;
+  DtWriter& last = locals[n_chunks - 1];
+  w->pos_c = last.pos_c;
+  w->pos = std::move(last.pos);
+  w->sent_b = last.sent_b;
+  w->sent = std::move(last.sent);
+  w->init = last.init;
+}
+
+// Threaded decode of the compacted device event buffer: lane i's
+// `counts[i]` packed events (kind|start<<2|end<<17, row-major (B, E))
+// become consecutive (kind, start, end) triples at tri + out_off[i]*3.
+// Replaces the numpy mask-and-fancy-index decode (GIL-bound, one
+// core) in the pipeline's decode stage.
+void dt_decode_events(const uint32_t* ev, int64_t B, int64_t E,
+                      const int32_t* counts, int32_t* tri,
+                      int n_threads) {
+  std::vector<int64_t> off(B + 1);
+  for (int64_t i = 0; i < B; i++) off[i + 1] = off[i] + counts[i];
+  int nt = n_threads < 1 ? 1 : n_threads;
+  if ((int64_t)nt > B) nt = (int)B;
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nt; t++) {
+    int64_t lo = B * t / nt, hi = B * (t + 1) / nt;
+    ths.emplace_back([&, lo, hi]() {
+      for (int64_t i = lo; i < hi; i++) {
+        const uint32_t* src = ev + i * E;
+        int32_t* dst = tri + off[i] * 3;
+        int64_t n = counts[i];
+        for (int64_t j = 0; j < n; j++) {
+          uint32_t v = src[j];
+          dst[j * 3] = (int32_t)(v & 3u);
+          dst[j * 3 + 1] = (int32_t)((v >> 2) & 0x7FFFu);
+          dst[j * 3 + 2] = (int32_t)((v >> 17) & 0x7FFFu);
+        }
+      }
+    });
+  }
+  for (auto& t : ths) t.join();
 }
 
 int64_t dt_writer_size(DtWriter* w) { return (int64_t)w->out.size(); }

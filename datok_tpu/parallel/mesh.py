@@ -260,11 +260,57 @@ class ShardedEngine(BatchEngine):
             state[:B0],
         )
 
-    # -- host-facing surfaces (inherited: run_raw, events_batch,
-    #    tokenize_batch — they call run_raw_device) -------------------
+    # -- host-facing surfaces (run_raw / tokenize_batch inherited;
+    #    events_batch and corpus_stats balance lanes first) -----------
 
-    def corpus_stats(self, texts: Sequence[str]) -> dict:
-        """Tokenize a corpus and return globally-reduced counters."""
+    def events_batch(
+        self,
+        texts: Sequence[str],
+        entries=None,
+        return_exits: bool = False,
+        as_arrays: bool = False,
+        stops=None,
+    ):
+        """Shard-balanced :meth:`BatchEngine.events_batch`.
+
+        Lanes shard in contiguous blocks, so a direct batch whose long
+        texts cluster would idle every other shard at the barrier
+        (round-3 verdict applied balancing only inside the wave
+        pipeline).  Balance-permute the lanes, run, unpermute the
+        results — output order and exactness unchanged.
+        """
+        n = len(texts)
+        if self.n_shards > 1 and n > self.n_shards:
+            perm = balance_perm([len(t) for t in texts], self.n_shards)
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(n)
+            r = super().events_batch(
+                [texts[i] for i in perm],
+                None if entries is None else np.asarray(entries)[perm],
+                return_exits,
+                as_arrays,
+                None if stops is None else np.asarray(stops)[perm],
+            )
+            if return_exits:
+                out, exits = r
+                return [out[i] for i in inv], exits[inv]
+            return [r[i] for i in inv]
+        return super().events_batch(
+            texts, entries, return_exits, as_arrays, stops
+        )
+
+    def corpus_stats(self, texts: Sequence[str],
+                     balance: bool = True) -> dict:
+        """Tokenize a corpus and return globally-reduced counters.
+
+        ``balance=False`` keeps the caller's lane order (the A/B knob
+        for the scaling sweep); the default balances like
+        :meth:`events_batch`."""
+        if balance and self.n_shards > 1 and len(texts) > self.n_shards:
+            # counters are order-independent; balancing the lanes is
+            # pure efficiency (see events_batch)
+            perm = balance_perm([len(t) for t in texts], self.n_shards)
+            texts = [texts[i] for i in perm]
         meta, lengths, _ = self.encoder.encode_batch(texts)
         _ys, bad, _n, _state = self.run_raw(meta, lengths)
         stats = np.asarray(self.last_counters)

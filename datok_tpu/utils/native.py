@@ -118,6 +118,13 @@ def get_lib():
         lib.dt_writer_feed_wave.argtypes = [
             ctypes.c_void_p, i32p, i32p, ctypes.c_int64, i32p, i64p, i32p,
         ]
+        lib.dt_writer_feed_wave_mt.argtypes = [
+            ctypes.c_void_p, i32p, i32p, ctypes.c_int64, i32p, i64p, i32p,
+            ctypes.c_int,
+        ]
+        lib.dt_decode_events.argtypes = [
+            u32p, ctypes.c_int64, ctypes.c_int64, i32p, i32p, ctypes.c_int,
+        ]
         lib.dt_writer_size.restype = ctypes.c_int64
         lib.dt_writer_size.argtypes = [ctypes.c_void_p]
         lib.dt_writer_copy.argtypes = [ctypes.c_void_p, i8p]
@@ -233,7 +240,7 @@ def native_encode_wave(encoder, texts, pad_to=None, threads=None,
     if lib is None:
         return None
     if threads is None:
-        threads = min(os.cpu_count() or 1, 8)
+        threads = host_workers()
     datas = [t.encode("utf-8", "surrogatepass") for t in texts]
     B = len(datas)
     offs = np.zeros(B + 1, dtype=np.int64)
@@ -285,6 +292,46 @@ def native_encode_wave(encoder, texts, pad_to=None, threads=None,
         scratch["cps_offs"] = offs[:B]
         scratch["cps_lens"] = lengths
     return meta, lengths, cps
+
+
+def host_workers() -> int:
+    """Host-stage worker count: DATOK_HOST_WORKERS env, else CPU count.
+
+    One knob for every parallel host stage (encode threads, decode
+    threads, wave-format chunks) so production hosts with many cores
+    scale the feeding/draining stages without code changes
+    (SURVEY.md §5 "communication backend": throughput is bounded by
+    input feeding, not collectives).
+    """
+    v = os.environ.get("DATOK_HOST_WORKERS")
+    if v:
+        try:
+            return max(1, int(v))
+        except ValueError:
+            pass
+    return max(1, os.cpu_count() or 1)
+
+
+def native_decode_events(ev: np.ndarray, counts: np.ndarray,
+                         workers: int | None = None):
+    """Decode the compacted (B, E) packed event buffer to one flat
+    (N, 3) int32 triple array (see jax_engine.decode_events_flat) via
+    the threaded native decoder, or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ev = np.ascontiguousarray(ev, dtype=np.uint32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    B, E = ev.shape
+    total = int(counts.sum())
+    tri = np.empty((total, 3), dtype=np.int32)
+    if workers is None:
+        workers = host_workers()
+    lib.dt_decode_events(
+        _ptr(ev, ctypes.c_uint32), B, E, _ptr(counts, ctypes.c_int32),
+        _ptr(tri, ctypes.c_int32), int(workers),
+    )
+    return tri
 
 
 def native_da_build(auto):
@@ -437,22 +484,31 @@ class NativeWriter:
         )
 
     def feed_wave(self, ev_tri, ev_counts, cps_flat, cps_offs,
-                  cps_lens) -> None:
+                  cps_lens, workers: int | None = None) -> None:
         """Replay a whole wave (see dt_writer_feed_wave): ``ev_tri`` is
         the (N, 3) concatenation of all documents' events, documents
         delimited by ``ev_counts``; codepoints for document i live at
-        ``cps_flat[cps_offs[i] : +cps_lens[i]]``."""
+        ``cps_flat[cps_offs[i] : +cps_lens[i]]``.
+
+        ``workers`` > 1 splits the wave at clean writer boundaries and
+        formats chunks on parallel OS threads (dt_writer_feed_wave_mt;
+        byte-identical by construction).  Default: DATOK_HOST_WORKERS
+        env var, else the CPU count.
+        """
         ev = np.ascontiguousarray(ev_tri, dtype=np.int32)
         ev_counts = np.ascontiguousarray(ev_counts, dtype=np.int32)
         cps_flat = np.ascontiguousarray(cps_flat, dtype=np.int32)
         cps_offs = np.ascontiguousarray(cps_offs, dtype=np.int64)
         cps_lens = np.ascontiguousarray(cps_lens, dtype=np.int32)
-        self.lib.dt_writer_feed_wave(
+        if workers is None:
+            workers = host_workers()
+        self.lib.dt_writer_feed_wave_mt(
             self.h, _ptr(ev, ctypes.c_int32),
             _ptr(ev_counts, ctypes.c_int32), len(ev_counts),
             _ptr(cps_flat, ctypes.c_int32),
             _ptr(cps_offs, ctypes.c_int64),
             _ptr(cps_lens, ctypes.c_int32),
+            int(workers),
         )
 
     def getvalue(self) -> str:
