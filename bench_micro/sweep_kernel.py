@@ -44,6 +44,15 @@ CONFIGS = [
     dict(name="pring128", kernel_pring=128),
     dict(name="pring512b", kernel_pring=512),
     dict(name="pool32u", kernel_pool=32),
+    # round-4: the auto hot set grew 512 -> 768 when the profile corpus
+    # gained the EN calibration texts; re-tune H x pring under
+    # injection-mode cold handling
+    dict(name="h512p256", hot_size=512),
+    dict(name="h512p128", hot_size=512, kernel_pring=128),
+    dict(name="h640p256", hot_size=640),
+    dict(name="h640p128", hot_size=640, kernel_pring=128),
+    dict(name="h768p128", kernel_pring=128),
+    dict(name="h512p192", hot_size=512, kernel_pring=192),
 ]
 if os.environ.get("SWEEP_ONLY"):
     names = set(os.environ["SWEEP_ONLY"].split(","))
@@ -61,6 +70,14 @@ def main():
     doc = (BENCH_TEXT * (L // len(BENCH_TEXT) + 1))[: L - 2] + ".\x04"
     texts = [doc] * B
     nbytes = sum(len(t.encode()) for t in texts)
+    hetero = os.environ.get("SWEEP_HETERO") == "1"
+    if hetero:
+        het = [
+            (doc[(i * 131) % (L - 2):-2] + doc[: (i * 131) % (L - 2)])
+            + ".\x04"
+            for i in range(B)
+        ]
+        nbytes_h = sum(len(t.encode()) for t in het)
 
     for cfg in CONFIGS:
         name = cfg.pop("name")
@@ -86,13 +103,32 @@ def main():
             jax.block_until_ready(eng.run_raw_device(meta_d, lengths_d))
             times.append(time.time() - t0)
         med = sorted(times)[len(times) // 2]
-        print(json.dumps({
+        row = {
             "config": name, **cfg, "bad": nbad,
             "rounds": int((eng.last_stats or (0, 0, 0))[0]), "services": int((eng.last_stats or (0, 0, 0))[1]),
             "steps": int(steps),
             "compile_s": round(compile_s, 1),
             "mbps": round(nbytes / med / 1e6, 2),
-        }), flush=True)
+        }
+        if hetero:
+            meta_h, lengths_h, _ = eng.encoder.encode_batch(het)
+            meta_hd = jax.block_until_ready(jnp.asarray(meta_h))
+            lengths_hd = jax.block_until_ready(jnp.asarray(lengths_h))
+            tms = []
+            bad_h = 0
+            for _ in range(max(3, REPS - 2)):
+                t0 = time.time()
+                out = jax.block_until_ready(
+                    eng.run_raw_device(meta_hd, lengths_hd)
+                )
+                tms.append(time.time() - t0)
+                bad_h = int(np.asarray(out[1]).sum())
+            row["hetero_mbps"] = round(
+                nbytes_h / sorted(tms)[len(tms) // 2] / 1e6, 2
+            )
+            row["hetero_bad"] = bad_h
+            del meta_hd, lengths_hd
+        print(json.dumps(row), flush=True)
         cfg["name"] = name
 
 

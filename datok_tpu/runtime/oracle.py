@@ -44,7 +44,7 @@ _CP_EOT = EOT
 def transduce_events(
     tok, text: str, state_counter=None, entry_state: int = 1, exit_box=None,
     debug: bool = False, start: int = 0, stop_at: Optional[int] = None,
-    registers_box=None, rewinds_box=None,
+    registers_box=None, rewinds_box=None, trace_box=None,
 ) -> List[Event]:
     """Run the exact transduce loop; return the boundary event stream.
 
@@ -181,6 +181,12 @@ def transduce_events(
                 print(f"Check {t0} - {a} ( {ch!r} ) c={c} b={b} ft={ft}")
             if state_counter is not None:
                 state_counter[t0] = state_counter.get(t0, 0) + 1
+            if trace_box is not None:
+                # one record per transition attempt (= per reference
+                # loop iteration): source state, symbol, cursor — the
+                # raw material for step-model analyses (see
+                # bench_micro/steps_model.py)
+                trace_box.append((t0, a, c))
             if is_da:
                 tcell = int(base_arr[t0] & RESTBIT) + a
                 valid = (
