@@ -82,14 +82,19 @@ BENCH_TEXT_EN = (
 
 
 def _timed_device(eng, meta_d, lengths_d, reps):
-    import jax
-
     times = []
     for _ in range(reps):
         t0 = time.time()
-        out = jax.block_until_ready(eng.run_raw_device(meta_d, lengths_d))
+        out = eng.run_raw_device(meta_d, lengths_d)
+        # sync via a host fetch of the bad-lane count: through the dev
+        # tunnel, block_until_ready can return before the while-loop
+        # computation finishes (observed: sub-ms "completions" of
+        # 160 ms runs), so a D2H of a result scalar is the only
+        # reliable completion barrier — and doubles as the
+        # conformance guard
+        nbad = int(np.asarray(out[1]).sum())
         times.append(time.time() - t0)
-        assert int(np.asarray(out[1]).sum()) == 0, "fallback lanes"
+        assert nbad == 0, "fallback lanes"
     return float(np.median(times))
 
 
@@ -243,39 +248,63 @@ def _profile(eng, meta_d, lengths_d, B, n_steps):
     with jax.profiler.trace(out_dir):
         jax.block_until_ready(eng.run_raw_device(meta_d, lengths_d))
 
-    kernel_us = 0.0
-    total_us = 0.0
+    # The dev-tunnel profiler exposes device time at XLA-op
+    # granularity: the machine's outer `while.N` (whole loop) and
+    # `body.N` (sum of iterations: kernel rounds + per-round glue).
+    # Mosaic custom-call granularity is not surfaced, so the roofline
+    # uses body time — an UPPER bound on kernel-body ns/lane-step
+    # (it includes ring build, pack/unpack, and injection gathers).
+    body_us = 0.0
+    while_us = 0.0
+    device_us = 0.0
     traces = sorted(
         glob.glob(out_dir + "/**/*.trace.json.gz", recursive=True)
     )
     if traces:
         with gzip.open(traces[-1], "rt") as f:
             data = json.load(f)
+        dev_pids = {
+            e["pid"]
+            for e in data.get("traceEvents", [])
+            if e.get("ph") == "M"
+            and e.get("name") == "process_name"
+            and "TPU" in str(e.get("args", {}).get("name", ""))
+        }
         for evt in data.get("traceEvents", []):
             if evt.get("ph") != "X" or "dur" not in evt:
                 continue
-            name = evt.get("name", "").lower()
-            total_us += evt["dur"]
-            if "custom" in name:  # Mosaic kernels run as custom calls
-                kernel_us += evt["dur"]
+            if evt.get("pid") not in dev_pids:
+                continue
+            name = evt.get("name", "")
+            if name.startswith("body."):
+                body_us += evt["dur"]
+            elif name.startswith("while."):
+                while_us += evt["dur"]
+            elif name.startswith("jit_"):
+                device_us += evt["dur"]
 
     spec = eng.spec
     H = spec.H
     W = spec.C_pad if spec.cls_tab is not None else spec.A_pad
-    pring = eng.kernel_pring or 256
+    if eng.kernel_pring:
+        pring = eng.kernel_pring
+    else:
+        from datok_tpu.runtime.pallas_engine import PRING as pring
     # VPU-elem-op model (BENCH_LOG.md): one-hot build ~2H, ring tree
     # pring-1, two column trees 2(W-1), ~150 rows of step logic, at
     # ~0.96 T elem-ops/s; MXU 2·H·W int8 MACs at ~394 TOPS
     vpu_ops = 2 * H + (pring - 1) + 2 * (W - 1) + 150
     sol_ns = max(2 * H * W / 394e3, vpu_ops / 960.0)
     lane_steps = float(n_steps) * B
-    meas_ns = (kernel_us * 1e3) / lane_steps if lane_steps else 0.0
+    meas_ns = (body_us * 1e3) / lane_steps if lane_steps else 0.0
     return {
         "trace_dir": out_dir,
-        "kernel_ms": round(kernel_us / 1e3, 2),
+        "device_ms": round(device_us / 1e3, 2),
+        "while_ms": round(while_us / 1e3, 2),
+        "body_ms": round(body_us / 1e3, 2),
         "steps": int(n_steps),
         "lanes": int(B),
-        "ns_per_lane_step": round(meas_ns, 3),
+        "ns_per_lane_step_upper": round(meas_ns, 3),
         "sol_ns_per_lane_step": round(sol_ns, 3),
         "pct_of_sol": round(100 * sol_ns / meas_ns, 1) if meas_ns else 0,
         "model": {"H": H, "W": W, "pring": pring,

@@ -59,7 +59,17 @@ def main():
     if os.environ.get("SORTLEN"):
         texts = sorted(texts, key=len)
     nbytes = sum(len(t.encode()) for t in texts)
-    eng = BatchEngine(tok)
+    # engine knobs via env for config sweeps on this workload
+    kw = {}
+    for env, key, cast in (
+        ("HOT", "hot_size", int), ("PRING", "kernel_pring", int),
+        ("POOL", "kernel_pool", int), ("WGRP", "kernel_wgrp", int),
+        ("KK", "kernel_k", int), ("CH", "kernel_ch", int),
+        ("SVC_NS", "kernel_svc_ns", int),
+    ):
+        if os.environ.get(env):
+            kw[key] = cast(os.environ[env])
+    eng = BatchEngine(tok, **kw)
     meta, lengths, _ = eng.encoder.encode_batch(texts)
     if meta.shape[1] < L:
         meta = np.pad(meta, ((0, 0), (0, L - meta.shape[1])))
@@ -73,15 +83,21 @@ def main():
     times = []
     for _ in range(REPS):
         t0 = time.time()
-        jax.block_until_ready(eng.run_raw_device(meta_d, lengths_d))
+        out = eng.run_raw_device(meta_d, lengths_d)
+        # completion sync via host scalar fetch (tunnel-safe)
+        int(np.asarray(out[1]).sum())
         times.append(time.time() - t0)
     med = sorted(times)[len(times) // 2]
     st = (np.asarray(eng.last_stats) if eng.last_stats is not None
           else np.zeros(3, np.int32))
     print(json.dumps({
+        "config": {k: v for k, v in os.environ.items()
+                   if k in ("HOT", "PRING", "POOL", "WGRP", "KK", "CH",
+                            "SVC_NS", "SORTLEN")},
         "bad": int(np.asarray(bad).sum()),
         "rounds": int(st[0]), "services": int(st[1]),
         "steps": int(steps),
+        "steps_per_char": round(int(steps) / L, 2),
         "compile_s": round(compile_s, 1),
         "mbps": round(nbytes / med / 1e6, 2),
     }))

@@ -53,6 +53,29 @@ CONFIGS = [
     dict(name="h640p128", hot_size=640, kernel_pring=128),
     dict(name="h768p128", kernel_pring=128),
     dict(name="h512p192", hot_size=512, kernel_pring=192),
+    # round-4 second pass around the h512p128 winner
+    dict(name="h512p128pool16", hot_size=512, kernel_pring=128,
+         kernel_pool=16),
+    dict(name="h512p128pool64", hot_size=512, kernel_pring=128,
+         kernel_pool=64),
+    dict(name="h512p128w256", hot_size=512, kernel_pring=128,
+         kernel_wgrp=256),
+    dict(name="h576p128", hot_size=576, kernel_pring=128),
+    dict(name="h512p128k192", hot_size=512, kernel_pring=128,
+         kernel_k=192),
+    dict(name="h512p128ch4", hot_size=512, kernel_pring=128,
+         kernel_ch=4),
+    dict(name="h512p128k64", hot_size=512, kernel_pring=128,
+         kernel_k=64),
+    # round-4 third pass: re-validation with the fixed (scalar-fetch)
+    # completion sync; r768p256 pins the round-3 configuration
+    dict(name="r768p256", hot_size=768, kernel_pring=256),
+    dict(name="r512p128", hot_size=512, kernel_pring=128),
+    dict(name="r512p128k64", hot_size=512, kernel_pring=128,
+         kernel_k=64),
+    dict(name="r640p256", hot_size=640, kernel_pring=256),
+    dict(name="r512p128k96", hot_size=512, kernel_pring=128,
+         kernel_k=96, kernel_ch=8),
 ]
 if os.environ.get("SWEEP_ONLY"):
     names = set(os.environ["SWEEP_ONLY"].split(","))
@@ -66,8 +89,18 @@ def main():
     import datok_tpu as dt
     from datok_tpu.runtime.jax_engine import BatchEngine
 
-    tok = dt.load_matrix_file("/root/reference/testdata/tokenizer_de.matok")
-    doc = (BENCH_TEXT * (L // len(BENCH_TEXT) + 1))[: L - 2] + ".\x04"
+    if os.environ.get("SWEEP_MODEL") == "en":
+        from bench import BENCH_TEXT_EN as base_text
+
+        tok = dt.load_matrix_file(
+            "/root/reference/testdata/tokenizer_en.matok"
+        )
+    else:
+        base_text = BENCH_TEXT
+        tok = dt.load_matrix_file(
+            "/root/reference/testdata/tokenizer_de.matok"
+        )
+    doc = (base_text * (L // len(base_text) + 1))[: L - 2] + ".\x04"
     texts = [doc] * B
     nbytes = sum(len(t.encode()) for t in texts)
     hetero = os.environ.get("SWEEP_HETERO") == "1"
@@ -100,12 +133,17 @@ def main():
         times = []
         for _ in range(REPS):
             t0 = time.time()
-            jax.block_until_ready(eng.run_raw_device(meta_d, lengths_d))
+            out = eng.run_raw_device(meta_d, lengths_d)
+            # sync via host scalar fetch: tunnel block_until_ready can
+            # return before the loop computation finishes
+            int(np.asarray(out[1]).sum())
             times.append(time.time() - t0)
         med = sorted(times)[len(times) // 2]
+        st = eng.last_stats
+        st = (0, 0, 0) if st is None else np.asarray(st)
         row = {
             "config": name, **cfg, "bad": nbad,
-            "rounds": int((eng.last_stats or (0, 0, 0))[0]), "services": int((eng.last_stats or (0, 0, 0))[1]),
+            "rounds": int(st[0]), "services": int(st[1]),
             "steps": int(steps),
             "compile_s": round(compile_s, 1),
             "mbps": round(nbytes / med / 1e6, 2),
@@ -118,11 +156,9 @@ def main():
             bad_h = 0
             for _ in range(max(3, REPS - 2)):
                 t0 = time.time()
-                out = jax.block_until_ready(
-                    eng.run_raw_device(meta_hd, lengths_hd)
-                )
+                out = eng.run_raw_device(meta_hd, lengths_hd)
+                bad_h = int(np.asarray(out[1]).sum())  # completion sync
                 tms.append(time.time() - t0)
-                bad_h = int(np.asarray(out[1]).sum())
             row["hetero_mbps"] = round(
                 nbytes_h / sorted(tms)[len(tms) // 2] / 1e6, 2
             )

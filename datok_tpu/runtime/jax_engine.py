@@ -1401,12 +1401,17 @@ def profile_hot_states(tok, texts: Sequence[str], limit) -> np.ndarray:
                 need = i + 1
                 break
         # Round to a multiple of 128 — the fused kernel's matmul cost
-        # is linear in H, so a tight hot set buys throughput directly.
-        # 98.5% transition coverage is the measured wall-clock knee on
-        # v5e (DE model, packed service): H=512 (98.7%) ran 339 MB/s
-        # with 6 services/run; H=448 (97.8%) fell to 305 (cold-lane
-        # pooling idle), H=768 (100%) to 300 (matmul width).
-        limit = max(384, ((need + 127) // 128) * 128)
+        # is linear in H, so a tight hot set buys throughput directly —
+        # and cap at 640: the per-step one-hot build (2H rows) is the
+        # largest VPU term, and with cold-entry INJECTION a cold char
+        # costs one ROUND (not a pooled service), so coverage matters
+        # doubly on heterogeneous real text.  Measured on v5e (round 4,
+        # DE, B=32K, pring=128): uniform 383/375/347, rotated-hetero
+        # 277/270/245, mixed-real 131/143/199, EN 251/261/239 at
+        # H=512/640/768 — 640 is the balance point (the round-2
+        # "98.5% knee" predates injection and had let the hot set grow
+        # to 768 with the profile corpus).
+        limit = max(384, min(640, ((need + 127) // 128) * 128))
     hot = [1] + [s for s in ranked if s != 1]
     if len(hot) < limit:
         # structural fill: breadth-first from the root
@@ -1454,7 +1459,13 @@ class BatchEngine:
         service_k: Optional[int] = None,
         profile_texts: Optional[Sequence[str]] = None,
         engine: str = "auto",
-        kernel_k: int = 128,
+        # round-4 re-tune with the scalar-fetch timing fix (v5e, DE,
+        # B=32K): H=512 (auto cap) / pring=128 / K=96 / CH=8 measured
+        # 380-387 uniform and 277-280 rotated-hetero MB/s/chip vs
+        # 347/245 for the round-3 config (H=768/pring=256/K=128) —
+        # smaller hot-set one-hots and a smaller ring tree beat their
+        # extra stalls now that cold entries arrive by injection
+        kernel_k: int = 96,
         kernel_bl: int = 2048,
         kernel_early_exit: bool = True,
         kernel_ch: int = 8,

@@ -55,14 +55,16 @@ from .jax_engine import (HotSpec, I32, PAYLOAD_MASK, TAG_COLD,
                          TAG_EPSOF, TAG_HOT, TAG_MASK, _init_carry,
                          _make_step, _tree_select_shared)
 
-# Default kernel meta ring rows.  Larger than the XLA machines' shared
-# ring: heterogeneous lanes legitimately drift apart in cursor position
-# (content-dependent speed), and a lane more than PRING chars ahead of
-# its block's slowest live lane meta-stalls.  The ring block is
-# double-buffered across grid blocks (2 MB, 4 MB buffered at 256 rows ×
-# BL=2048); per-block windows absorb most of the spread.  Overridable
-# per machine via the ``pring`` argument.
-PRING = 256
+# Default kernel meta ring rows.  A lane more than PRING chars ahead
+# of its block's slowest live lane meta-stalls (idempotent re-read), so
+# bigger windows absorb more heterogeneous cursor spread — but the
+# per-step ring select tree costs PRING−1 VPU row-ops, one of the
+# largest SOL terms.  Measured on v5e (round 4, DE, B=32K, H=512):
+# pring=128 → 389.7 uniform / 279 rotated-hetero vs pring=256 →
+# 378.6/256.6 — the tree savings beat the extra stalls even on the
+# adversarial rotated batch (injection absorbs cold stalls; window
+# stalls refill next round).  Overridable per machine via ``pring``.
+PRING = 128
 
 # carry rows shipped through the kernel, in order.  ``inj`` carries a
 # memoized exact cold fetch INTO the kernel and the ``req*`` rows
@@ -937,7 +939,14 @@ def _run_machine_pallas(
             )
             # services remain only as a safety net: a round that made
             # no progress at all (shouldn't happen — injected lanes
-            # advance next round) or the staleness heartbeat
+            # advance next round) or the staleness heartbeat.
+            # (Round-4 A/B: ALSO bursting dedup-gather services on
+            # dense cold pools — to walk cold CHAINS in one boundary —
+            # measured strictly worse on every workload: each service
+            # still pays the 4-register tagged decode + step, ~0.5 ms;
+            # hetero 277 → 166, mixed 131 → 63 MB/s.  Injection-only
+            # remains the steady state; cold chains cost one round per
+            # character and the real lever is hot-set COVERAGE.)
             out["need_srv"] = jnp.any(live2) & (
                 (n_inner == 0) | (out["since"] >= service_k)
             )
