@@ -236,7 +236,7 @@ def _host_scaling(eng, doc, n_docs, device_mbps):
     return out
 
 
-def _profile(eng, meta_d, lengths_d, B, n_steps):
+def _profile(eng, meta_d, lengths_d, B, n_steps, nbytes):
     """jax.profiler trace of one uniform run → kernel ns/lane-step vs
     the analytic speed-of-light (BENCH_LOG.md roofline)."""
     import glob
@@ -297,7 +297,14 @@ def _profile(eng, meta_d, lengths_d, B, n_steps):
     sol_ns = max(2 * H * W / 394e3, vpu_ops / 960.0)
     lane_steps = float(n_steps) * B
     meas_ns = (body_us * 1e3) / lane_steps if lane_steps else 0.0
+    # device-time throughput: wall MB/s pays the dev tunnel's per-call
+    # dispatch+sync (~20-25 ms/run); a production PCIe host pays ~none,
+    # so bytes / device-time is the production-side projection
+    dev_mbps = (
+        round(nbytes / (device_us / 1e6) / 1e6, 2) if device_us else None
+    )
     return {
+        "device_mbps": dev_mbps,
         "trace_dir": out_dir,
         "device_ms": round(device_us / 1e3, 2),
         "while_ms": round(while_us / 1e3, 2),
@@ -345,7 +352,10 @@ def main():
     }
 
     if do_profile:
-        result["profile"] = _profile(eng, meta_d, lengths_d, B, n_steps)
+        result["profile"] = _profile(
+            eng, meta_d, lengths_d, B, n_steps,
+            B * len(doc.encode()),
+        )
 
     # ---- heterogeneous: same text rotated per lane -----------------
     het = [

@@ -262,37 +262,60 @@ class DaTokenizer:
         )
         mx = max(syms) if syms else 0
 
-        id_of = {1: 1}
-        order = [1]
-        arcs = []  # (src dense, symbol, target slot, nontoken)
-        qi = 0
-        while qi < len(order):
-            slot = order[qi]
-            qi += 1
-            src = id_of[slot]
-            b = int(base[slot]) & RESTBIT
-            for a in syms:
-                t1 = b + a
-                if t1 > size or t1 >= len(check):
-                    continue
-                if (int(check[t1]) & RESTBIT) != slot:
-                    continue
-                nontok = bool(int(check[t1]) & FIRSTBIT)
-                tgt = t1
-                if int(base[tgt]) & FIRSTBIT:  # separate: follow rep
-                    tgt = int(base[tgt]) & RESTBIT
-                d = id_of.get(tgt)
-                if d is None:
-                    d = len(order) + 1
-                    id_of[tgt] = d
-                    order.append(tgt)
-                arcs.append((src, a, d, nontok))
-        S = len(order)
+        # Frontier-vectorized BFS (the scalar per-state-per-symbol loop
+        # took 3.5 s on the committed DE model: 18,266 states × 171
+        # symbols).  Discovery order is identical to the nested loop —
+        # np.nonzero over the (frontier, symbols) validity matrix is
+        # row-major, i.e. (state order, symbol order) — so the dense
+        # renumbering is unchanged.
+        syms_a = np.asarray(syms, dtype=np.int64)
+        n_cells = len(check)
+        id_of = np.zeros(n_cells, dtype=np.int64)  # slot → dense (0 = unseen)
+        id_of[1] = 1
+        n_assigned = 1
+        a_src: list = []
+        a_sym: list = []
+        a_tgt: list = []
+        a_nt: list = []
+        frontier = np.array([1], dtype=np.int64)
+        while frontier.size:
+            b = base[frontier] & RESTBIT
+            tc = b[:, None] + syms_a[None, :]
+            ok = (tc <= size) & (tc < n_cells)
+            tcc = np.clip(tc, 0, n_cells - 1)
+            ok &= (check[tcc] & RESTBIT) == frontier[:, None]
+            src_i, sym_i = np.nonzero(ok)  # row-major = discovery order
+            t1 = tcc[src_i, sym_i]
+            nt = (check[t1] & FIRSTBIT) != 0
+            sep = (base[t1] & FIRSTBIT) != 0
+            tgt = np.where(sep, base[t1] & RESTBIT, t1)
+            unseen = id_of[tgt] == 0
+            if unseen.any():
+                ut = tgt[unseen]
+                # new slots by first occurrence in discovery order
+                _, first = np.unique(ut, return_index=True)
+                new_slots = ut[np.sort(first)]
+                id_of[new_slots] = np.arange(
+                    n_assigned + 1, n_assigned + 1 + len(new_slots)
+                )
+                n_assigned += len(new_slots)
+            else:
+                new_slots = np.empty(0, dtype=np.int64)
+            a_src.append(id_of[frontier[src_i]])
+            a_sym.append(syms_a[sym_i])
+            a_tgt.append(id_of[tgt])
+            a_nt.append(nt)
+            frontier = new_slots
+        S = n_assigned
         mat.state_count = S
         mat.array = np.zeros((S + 1) * (mx + 1), dtype=np.uint32)
-        for src, a, d, nontok in arcs:
-            mat.array[(a - 1) * S + src] = np.uint32(
-                d | (FIRSTBIT if nontok else 0)
+        if a_src:
+            src = np.concatenate(a_src)
+            sym = np.concatenate(a_sym)
+            tgt_id = np.concatenate(a_tgt).astype(np.uint32)
+            nt = np.concatenate(a_nt)
+            mat.array[(sym - 1) * S + src] = tgt_id | np.where(
+                nt, np.uint32(FIRSTBIT), np.uint32(0)
             )
         return mat
 

@@ -323,20 +323,31 @@ def waves_pipelined(
                         np.ones(B_pad - B_real, dtype=np.int32),
                     ]
                 )
-                # shard-aware length balancing: on a mesh engine,
-                # permute lanes (pads included — lanes shard in
-                # contiguous blocks) so every shard carries equal
-                # work.  Results are unpermuted at consume via
-                # inv[:B_real]; the entry chain is order-independent
-                # of lane placement.
+                # Lane placement: on a mesh engine, shard-aware snake
+                # balancing (lanes shard in contiguous blocks) so
+                # every shard carries equal work; on one chip, a plain
+                # length sort — the kernel's early exit and ring
+                # windows are per BL-block, so grouping similar
+                # lengths lets short-lane blocks retire early and
+                # keeps per-block cursor spread small.  Results are
+                # unpermuted at consume via inv[:B_real]; the entry
+                # chain is order-independent of lane placement.
                 inv = None
                 n_sh = getattr(engine, "n_shards", 1)
+                lens_full = [len(d) for d in full_docs]
                 if n_sh > 1 and B_real > n_sh:
                     from ..parallel.mesh import balance_perm
 
-                    perm = balance_perm(
-                        [len(d) for d in full_docs], n_sh
+                    perm = balance_perm(lens_full, n_sh)
+                elif B_real > 64 and min(lens_full[:B_real]) != max(
+                    lens_full[:B_real]
+                ):
+                    perm = np.argsort(
+                        np.asarray(lens_full), kind="stable"
                     )
+                else:
+                    perm = None
+                if perm is not None:
                     inv_full = np.empty_like(perm)
                     inv_full[perm] = np.arange(len(perm))
                     enc_docs = [full_docs[i] for i in perm]
