@@ -385,6 +385,34 @@ def main():
         except Exception as e:  # mixed probe is auxiliary
             result["mixed_mbps_error"] = str(e)[:200]
 
+        # ---- mixed corpus through the WAVE PIPELINE ----------------
+        # the raw-batch mixed number above dispatches lanes as given;
+        # real corpora flow through waves_pipelined, whose lane
+        # packing + length sorting recovers a large part of the gap —
+        # the dispatch-stage rate is the device-side system number
+        try:
+            from datok_tpu.runtime.overlap import (
+                tokenize_stream_pipelined,
+            )
+            from datok_tpu.utils.native import NativeWriter as _NW
+
+            mtext = "".join(hetero_texts(24576, L))
+            stt = {}
+            tokenize_stream_pipelined(
+                tok, mtext, engine=eng, writer=_NW(dt.SIMPLE),
+                lanes=16384, stats=stt,
+            )
+            result["mixed_pipeline"] = {
+                "dispatch_mbps": round(
+                    len(mtext.encode())
+                    / max(stt["dispatch"], 1e-9) / 1e6, 1,
+                ),
+                "repairs": stt["repairs"],
+                "docs": stt["docs"],
+            }
+        except Exception as e:
+            result["mixed_pipeline_error"] = str(e)[:200]
+
         # ---- EN model ---------------------------------------------
         tok_en = dt.load_matrix_file(
             "/root/reference/testdata/tokenizer_en.matok"
