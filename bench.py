@@ -396,11 +396,18 @@ def main():
             )
             from datok_tpu.utils.native import NativeWriter as _NW
 
-            mtext = "".join(hetero_texts(24576, L))
+            # doc count a multiple of the lane count and pack_len=0 so
+            # every wave compiles at the same (16384, 1024) shape
+            mtext = "".join(hetero_texts(32768, L))
+            # warm the wave-shape compiles (L buckets × full lanes)
+            tokenize_stream_pipelined(
+                tok, "".join(hetero_texts(16384, L)), engine=eng,
+                writer=_NW(dt.SIMPLE), lanes=16384, pack_len=0,
+            )
             stt = {}
             tokenize_stream_pipelined(
                 tok, mtext, engine=eng, writer=_NW(dt.SIMPLE),
-                lanes=16384, stats=stt,
+                lanes=16384, stats=stt, pack_len=0,
             )
             result["mixed_pipeline"] = {
                 "dispatch_mbps": round(
