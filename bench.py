@@ -150,7 +150,6 @@ def _host_scaling(eng, doc, n_docs, device_mbps):
     embarrassingly parallel per document and the C calls release the
     GIL).
     """
-    from datok_tpu.runtime.jax_engine import decode_events_flat
     from datok_tpu.utils.native import (NativeWriter, native_decode_events,
                                         native_encode_wave)
 
