@@ -120,3 +120,14 @@ def test_stream_surfaces_fuzz(model, seed, de_eng, simple_eng):
         ).getvalue()
         assert got_r == want, (model, seed, case, "reader", chunk,
                                repr(text[:80]))
+        # position flags: offsets reset per text end — interior-EOT
+        # cuts must not disturb the position arithmetic
+        flags = (dt.TOKENS | dt.SENTENCES | dt.TOKEN_POS
+                 | dt.SENTENCE_POS)
+        want_pos = tok.tokenize(text, flags)
+        wp = dt.TokenWriter(flags)
+        got_pos = tokenize_stream(
+            tok, text, writer=wp, engine=eng
+        ).getvalue()
+        assert got_pos == want_pos, (model, seed, case, "positions",
+                                     repr(text[:80]))
