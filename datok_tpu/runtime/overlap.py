@@ -10,9 +10,12 @@ the *sum* of the stage times.  This module overlaps them:
   wave on device and *dispatches* the machine + event compaction —
   JAX dispatch is asynchronous, so the device crunches wave N while
   the host encodes wave N+1;
-* the **consumer** (the generator's caller) fetches wave N−1's
-  compacted events (the only device→host traffic), verifies the
-  entry-state chain, and formats — concurrently with both.
+* a **fetch thread** moves wave N−1's compacted events to the host
+  (the only device→host traffic) so the transfer overlaps the
+  consumer's work instead of serializing with it;
+* the **consumer** (the generator's caller) decodes wave N−2's
+  events, verifies the entry-state chain, and formats — concurrently
+  with all of the above.
 
 Steady-state end-to-end throughput is max(stage), not sum(stages).
 Backpressure and buffer reuse come from a fixed ring of scratch
@@ -416,14 +419,55 @@ def waves_pipelined(
         finally:
             q.put(None)
 
+    def _fetch_wave(wave: "_Wave") -> None:
+        """Device→host fetch of one wave's results (in the fetch
+        thread): the only d2h traffic of the pipeline.  Replaces the
+        device handles with numpy arrays so the consumer's
+        decode+format overlaps the NEXT wave's transfer."""
+        ev_T, counts_d, bad_d, state_d, cps_layout = wave.handles
+        B = len(wave.docs)
+        Bf = wave.n_enc if wave.inv is not None else B
+        t0 = _time.time()
+        counts = np.asarray(counts_d[:Bf])
+        cmax = int(counts.max()) if counts.size else 0
+        E = 32
+        while E < cmax:
+            E *= 2
+        E = min(E, ev_T.shape[1])
+        # slice on device: padding lanes and empty columns never
+        # cross the (bottleneck) device→host link
+        ev = np.asarray(ev_T[:Bf, :E])
+        bad = np.asarray(bad_d[:Bf])
+        state = np.asarray(state_d[:Bf])
+        st["fetch"] += _time.time() - t0
+        wave.handles = ("np", ev, counts, bad, state, cps_layout)
+
+    q2: "queue.Queue" = queue.Queue()
+
+    def fetcher():
+        try:
+            while True:
+                w = q.get()
+                if w is None:
+                    return
+                if w.handles is not None and not stop.is_set():
+                    _fetch_wave(w)
+                q2.put(w)
+        except BaseException as e:  # surfaced by the consumer
+            err.append(e)
+        finally:
+            q2.put(None)
+
     t = threading.Thread(target=prep, name="datok-prep", daemon=True)
     t.start()
+    tf = threading.Thread(target=fetcher, name="datok-fetch", daemon=True)
+    tf.start()
 
     entry = 1  # TRUE packed entry context for the next document
     wave = None
     try:
         while True:
-            wave = q.get()
+            wave = q2.get()
             if wave is None:
                 if err:
                     raise err[0]
@@ -466,29 +510,14 @@ def waves_pipelined(
                 )
                 continue
 
-            ev_T, counts_d, bad_d, state_d, cps_layout = wave.handles
+            # the fetch thread already moved this wave's results to
+            # host ("np" marker); shard-balanced waves scatter real
+            # docs over all encoded lanes, so Bf covered them all
+            _tag, ev, counts, bad, state, cps_layout = wave.handles
             B = len(wave.docs)
-            # shard-balanced waves scatter real docs over all encoded
-            # lanes (pads included in the permutation); fetch every
-            # encoded lane and unpermute.  Unbalanced waves keep real
-            # docs in the first B lanes — fetch only those.
-            Bf = wave.n_enc if wave.inv is not None else B
-            t0 = _time.time()
-            counts = np.asarray(counts_d[:Bf])
-            cmax = int(counts.max()) if counts.size else 0
-            E = 32
-            while E < cmax:
-                E *= 2
-            E = min(E, ev_T.shape[1])
-            # slice on device: padding lanes and empty columns never
-            # cross the (bottleneck) device→host link
-            ev = np.asarray(ev_T[:Bf, :E])
-            bad = np.asarray(bad_d[:Bf])
-            state = np.asarray(state_d[:Bf])
-            st["fetch"] += _time.time() - t0
             t0 = _time.time()
             tri, counts = decode_events_flat(ev, counts)
-            cps_flat, cps_offs, cps_lens = wave.handles[4]
+            cps_flat, cps_offs, cps_lens = cps_layout
             if wave.inv is not None:
                 # restore input order (see shard balancing in prep);
                 # inv[:B] drops the shape-pad lanes
@@ -548,26 +577,34 @@ def waves_pipelined(
     finally:
         stop.set()
         # drain so the prep thread can't block on a full slot ring
+        # (waves may sit in either queue or in the consumer's hand)
         if wave is not None and wave.slot is not None:
             free.put(wave.slot)
-        try:
-            while True:
-                w = q.get_nowait()
-                if w is not None and w.slot is not None:
-                    free.put(w.slot)
-        except queue.Empty:
-            pass
+        for qq in (q, q2):
+            try:
+                while True:
+                    w = qq.get_nowait()
+                    if w is not None and w.slot is not None:
+                        free.put(w.slot)
+            except queue.Empty:
+                pass
+        # the drain may have stolen prep's final None from q; wake the
+        # fetch thread unconditionally so it can exit
+        q.put(None)
         # stop is set and the slot ring is drained, so the prep thread
-        # exits after at most one in-flight wave; join without a
-        # practical timeout, but surface a warning instead of silently
-        # leaving a daemon thread issuing device work (ADVICE r3)
+        # exits after at most one in-flight wave (and the fetch thread
+        # after the prep's final None); join without a practical
+        # timeout, but surface a warning instead of silently leaving a
+        # daemon thread issuing device work (ADVICE r3)
         t.join(timeout=300)
-        if t.is_alive():
+        tf.join(timeout=60)
+        if t.is_alive() or tf.is_alive():
             import warnings
 
             warnings.warn(
-                "datok-prep thread did not exit within 300s; it may "
-                "still be issuing device work on this engine",
+                "datok pipeline thread did not exit within its join "
+                "timeout; it may still be issuing device work on this "
+                "engine",
                 RuntimeWarning,
                 stacklevel=2,
             )
