@@ -243,6 +243,16 @@ class DaTokenizer:
         Runtime-equivalent by construction (transduce parity is
         pinned by tests); this is what lets ``.datok`` models ride
         the fused-kernel TPU engine, which wants the dense layout.
+
+        Load-time cost, measured on the committed DE model (2,887,688
+        bc-pairs, datok.go:82-236 layout): 0.62 s and ~160 MB extra
+        peak RSS (int64 base/check casts, 16 B/pair, plus the 12.5 MB
+        dense table) on top of the 115 ms / 231 MB ``.datok`` load.
+        Cost scales with bc-pairs (the casts) and reachable_states ×
+        sigma (the BFS + dense table), so prefer the DA-general
+        machine over conversion when the dense table 4·(S+1)·A bytes
+        would not comfortably fit HBM alongside the batch, or when a
+        sub-second model load matters more than per-byte throughput.
         """
         from .matrix import MatrixTokenizer
 

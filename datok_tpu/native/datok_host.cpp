@@ -844,8 +844,17 @@ void dt_writer_feed_wave_mt(DtWriter* w, const int32_t* ev,
 void dt_decode_events(const uint32_t* ev, int64_t B, int64_t E,
                       const int32_t* counts, int32_t* tri,
                       int n_threads) {
+  // Clamp each lane's count to the row width E: callers are expected
+  // to slice ev so E >= counts.max(), but a narrower slice must read
+  // garbage rows, not out-of-bounds memory (the numpy decode this
+  // replaces silently truncated via its mask).  Offsets use the same
+  // clamped counts so tri stays densely packed.
   std::vector<int64_t> off(B + 1);
-  for (int64_t i = 0; i < B; i++) off[i + 1] = off[i] + counts[i];
+  for (int64_t i = 0; i < B; i++) {
+    int64_t c = counts[i] < E ? counts[i] : E;
+    if (c < 0) c = 0;
+    off[i + 1] = off[i] + c;
+  }
   int nt = n_threads < 1 ? 1 : n_threads;
   if ((int64_t)nt > B) nt = (int)B;
   std::vector<std::thread> ths;
@@ -855,7 +864,7 @@ void dt_decode_events(const uint32_t* ev, int64_t B, int64_t E,
       for (int64_t i = lo; i < hi; i++) {
         const uint32_t* src = ev + i * E;
         int32_t* dst = tri + off[i] * 3;
-        int64_t n = counts[i];
+        int64_t n = off[i + 1] - off[i];
         for (int64_t j = 0; j < n; j++) {
           uint32_t v = src[j];
           dst[j * 3] = (int32_t)(v & 3u);

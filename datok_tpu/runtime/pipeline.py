@@ -119,19 +119,20 @@ def transduce_doc_exact(tok, doc: str, entry: int, cut: bool,
     pos, ctx, nev = rw[-1]
     if pos == len(doc) and nev == len(ev):
         return list(ev), int(ctx)
-    # Unreachable for eot_in_sigma models (see above); defensive exact
-    # fallback: full walk with epilogue (pre-cut-dispatch behavior).
-    import logging
-
-    logging.getLogger("datok_tpu").warning(
-        "EOT-ending chunk left an unclean cut (b=%d != len=%d); "
-        "running with EOF epilogue instead", pos, len(doc),
+    # Unreachable for eot_in_sigma models (proof in eot_in_sigma's
+    # docstring).  A silent fallback here would run the EOF epilogue on
+    # an interior chunk — emitting implicit sentence/text ends
+    # mid-stream, i.e. NON-stream-exact output diverging from the
+    # reference with only a log line as evidence.  Fail loud instead:
+    # if this ever fires, the cleanliness proof is wrong for this model
+    # and stream splitting must not be used on it.
+    raise RuntimeError(
+        "EOT-ending interior chunk left an unclean cut "
+        f"(b={pos} != len={len(doc)}, events {nev}/{len(ev)}): the "
+        "eot_in_sigma cut-cleanliness invariant is violated for this "
+        "model; process the stream unsplit (split_stream would need "
+        "eot_in_sigma()=False for it)"
     )
-    box2: List[int] = []
-    ev2 = transduce_events_fast(
-        tok, doc, entry_state=int(entry), exit_box=box2
-    )
-    return ev2, (box2[0] if box2 else 1)
 
 
 def eot_split_safe(tok) -> bool:

@@ -309,7 +309,12 @@ def host_workers() -> int:
             return max(1, int(v))
         except ValueError:
             pass
-    return max(1, os.cpu_count() or 1)
+    # Cap the default: up to three stages (encode prep, decode+format
+    # consumer, fetch) can each take this many threads concurrently in
+    # the wave pipeline, so an uncapped many-core default oversubscribes
+    # the host and shrinks feed_wave_mt chunks toward per-doc
+    # granularity.  DATOK_HOST_WORKERS is the explicit override.
+    return max(1, min(os.cpu_count() or 1, 16))
 
 
 def native_decode_events(ev: np.ndarray, counts: np.ndarray,
@@ -323,7 +328,10 @@ def native_decode_events(ev: np.ndarray, counts: np.ndarray,
     ev = np.ascontiguousarray(ev, dtype=np.uint32)
     counts = np.ascontiguousarray(counts, dtype=np.int32)
     B, E = ev.shape
-    total = int(counts.sum())
+    # Mirror the native clamp (counts bounded by the row width E) so
+    # tri is sized exactly as dt_decode_events will fill it even if a
+    # caller passes a narrower ev slice than counts implies.
+    total = int(np.minimum(counts, E).clip(min=0).sum())
     tri = np.empty((total, 3), dtype=np.int32)
     if workers is None:
         workers = host_workers()
