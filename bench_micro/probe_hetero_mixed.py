@@ -66,6 +66,7 @@ def main():
         ("POOL", "kernel_pool", int), ("WGRP", "kernel_wgrp", int),
         ("KK", "kernel_k", int), ("CH", "kernel_ch", int),
         ("SVC_NS", "kernel_svc_ns", int),
+        ("INJQ", "kernel_injq", int),
     ):
         if os.environ.get(env):
             kw[key] = cast(os.environ[env])
@@ -93,7 +94,7 @@ def main():
     print(json.dumps({
         "config": {k: v for k, v in os.environ.items()
                    if k in ("HOT", "PRING", "POOL", "WGRP", "KK", "CH",
-                            "SVC_NS", "SORTLEN")},
+                            "SVC_NS", "INJQ", "SORTLEN")},
         "bad": int(np.asarray(bad).sum()),
         "rounds": int(st[0]), "services": int(st[1]),
         "steps": int(steps),

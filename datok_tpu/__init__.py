@@ -50,6 +50,10 @@ def __getattr__(name):
         from .runtime.jax_engine import BatchEngine
 
         return BatchEngine
+    if name == "AdaptiveEngine":
+        from .runtime.adaptive import AdaptiveEngine
+
+        return AdaptiveEngine
     if name in ("tokenize_stream", "tokenize_reader"):
         from .runtime import pipeline
 
@@ -90,6 +94,7 @@ __all__ = [
     "replay_events",
     "format_events",
     "BatchEngine",
+    "AdaptiveEngine",
     "tokenize_stream",
     "tokenize_reader",
     "CorpusRunner",

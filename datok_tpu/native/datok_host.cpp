@@ -377,6 +377,93 @@ int64_t dt_transduce(const uint32_t* table, int32_t state_count, int32_t eps,
   return nev / 3;
 }
 
+// Hot-set cold-rate sampler for adaptive engine selection
+// (jax_engine.BatchEngine adaptive machinery): walk the exact
+// transduce loop (same semantics as dt_transduce, no event emission)
+// and count transition FETCHES whose source state lies outside the
+// engine's hot set (`hot` bitmap, one byte per state id) — each such
+// fetch is a cold stall of the fused kernel, which is the quantity
+// that decides whether a wider (more expensive per step, better
+// covered) hot set wins on this input.  Returns the cold-fetch count;
+// *fetches returns the total fetch count.
+int64_t dt_cold_rate(const uint32_t* table, int32_t state_count,
+                     int32_t eps, int32_t unknown, int32_t identity,
+                     const int32_t* metas, int64_t n, const uint8_t* hot,
+                     int64_t* fetches) {
+  const int64_t S = state_count;
+  int64_t cold = 0, nf = 0;
+  uint32_t t = 1;
+  int64_t t0 = 0;
+  int32_t a = 0;
+  bool ok = false, eot = false, newchar = true;
+  int64_t eps_state = 0, eps_offset = 0;
+  int64_t b = 0, ft = 0, c = 0;
+  while (c < n || !newchar) {
+    if (newchar) {
+      if (c >= n) break;
+      uint32_t m = (uint32_t)metas[c];
+      a = (int32_t)(m & 0xFFFF);
+      eot = (m & META_EOT) != 0;
+      if (m & META_NONASCII) ok = (m & META_FOUND) != 0;
+      t0 = (int64_t)t;
+      if (table[(int64_t)(eps - 1) * S + t0] != 0) {
+        eps_state = t0;
+        eps_offset = c;
+      }
+    }
+    uint32_t traw = (a == 0) ? 0u : table[(int64_t)(a - 1) * S + t0];
+    nf++;
+    if (!hot[t0]) cold++;
+    if (traw == 0) {
+      if (!ok && a == identity) {
+        a = unknown;
+        newchar = false;
+        eot = false;
+        continue;
+      } else if (a != eps && eps_state != 0) {
+        t0 = eps_state;
+        eps_state = 0;
+        c = eps_offset;
+        a = eps;
+        newchar = false;
+        eot = false;
+        continue;
+      } else {
+        if (c - b - ft <= 0) c++;
+        b = c;
+        ft = 0;
+        eps_state = 0;
+        a = eps;
+        t = 1;
+        newchar = true;
+        continue;
+      }
+    }
+    bool rewind = false;
+    bool nontoken = (traw & FIRSTBIT) != 0;
+    if (a == eps) {
+      if (c - b > ft) rewind = true;
+    } else {
+      c++;
+      if ((c - b) - ft == 1 && nontoken) ft++;
+    }
+    if (eot) {
+      eot = false;
+      rewind = true;
+    }
+    if (rewind) {
+      b = c;
+      ft = 0;
+      eps_offset = 0;
+      eps_state = 0;
+    }
+    t = traw & ~FIRSTBIT;
+    newchar = true;
+  }
+  if (fetches) *fetches = nf;
+  return cold;
+}
+
 // Cut walk for speculative segmentation (runtime/oracle.py
 // transduce_events(start/stop_at/rewinds_box) semantics): replay from a
 // rewind checkpoint `t_init` with buffer base `start` over absolute

@@ -1473,6 +1473,7 @@ class BatchEngine:
         kernel_pool: int = 32,
         kernel_wgrp: int = 0,
         kernel_svc_ns: int = -1,
+        kernel_injq: int = 0,
         pallas_interpret: bool = False,
     ):
         if accelerated is False:
@@ -1524,6 +1525,7 @@ class BatchEngine:
         self.kernel_pool = kernel_pool
         self.kernel_wgrp = kernel_wgrp
         self.kernel_svc_ns = kernel_svc_ns
+        self.kernel_injq = kernel_injq  # 0 = pallas_engine default
         self.pallas_interpret = pallas_interpret
         self.accelerated = engine in ("hot", "pallas")
         if self.accelerated:
@@ -1746,6 +1748,9 @@ class BatchEngine:
             pool=self.kernel_pool,
             wgrp=self.kernel_wgrp,
             svc_ns=self.kernel_svc_ns,
+            **(
+                {"injq": self.kernel_injq} if self.kernel_injq else {}
+            ),
         )
         if B_pad != B:
             ys = ys[:, :B]

@@ -66,36 +66,56 @@ from .jax_engine import (HotSpec, I32, PAYLOAD_MASK, TAG_COLD,
 # stalls refill next round).  Overridable per machine via ``pring``.
 PRING = 128
 
-# carry rows shipped through the kernel, in order.  ``inj`` carries a
-# memoized exact cold fetch INTO the kernel and the ``req*`` rows
-# carry cold-stall fetch requests back out (see the injection design
-# note in _run_machine_pallas): ``inj`` answers exactly the
-# ``(req_t0, req_a)`` pair recorded when it was computed — a stale
-# injection self-invalidates because the lane's current fetch no
-# longer matches that fingerprint, so no consume-once bookkeeping is
-# needed.
-ROWS = (
+# carry rows shipped through the kernel, in order.  The ``req*`` rows
+# carry cold-stall fetch requests back out and the ``inj_fp{q}`` /
+# ``inj_e{q}`` slot pairs carry memoized exact cold fetches INTO the
+# kernel (see the injection design note in _run_machine_pallas): a slot
+# answers exactly the (state, symbol) fetch whose compressed
+# fingerprint it records — a stale slot self-invalidates because the
+# lane's current fetch no longer matches that fingerprint, and because
+# a transition entry is a pure function of its (state, symbol) pair,
+# re-applying a matching slot at ANY later step is exact.  That purity
+# is what lets the outer loop inject predicted cold CHAINS (slot q =
+# the q-th predicted fetch of a stalled lane's cold walk) consumed over
+# consecutive in-kernel steps, instead of one entry per round.
+ROWS_BASE = (
     "t", "t0", "a", "a_cls", "ok", "eot", "newchar", "eps_s", "eps_o",
     "c", "b", "ft", "sflag", "tflag", "phase", "pend", "pend2", "ckpt",
     "n_backtrack", "n_force", "hid", "t0_hid", "eps_s_hid", "eps_t",
-    "lc_t", "length", "stop", "inj", "req_t0", "req_a",
+    "lc_t", "length", "stop", "req_t0", "req_a",
 )
 BOOL_ROWS = frozenset(
     ("ok", "eot", "newchar", "sflag", "tflag", "eps_t", "lc_t", "stop")
 )
-NC = len(ROWS)
+
+# Default injection-queue depth (chain slots per lane); override per
+# machine via BatchEngine(kernel_injq=...).  Measured r5 (v5e, DE):
+# chain prediction (Q≥4) cuts steps/char on cold-chain workloads
+# (novel prose 1.5 → 1.11) but each extra slot costs one dedup gather
+# of glue per round, which measured net-negative on every workload
+# (mixed 121→98 at Q=8; novel 53→20 — the glue per round exceeds the
+# rounds saved), so the default keeps one slot: exactly the answered
+# stall request, now consumable at ANY step of the round.  The real
+# cold-coverage fix is per-wave hot-set profiling (see WaveSpec).
+INJQ = 1
 
 
-def _pack_rows(carry):
-    return jnp.concatenate(
-        [carry[k].astype(I32)[None, :] for k in ROWS], axis=0
+def _rows(injq: int):
+    return ROWS_BASE + tuple(
+        f"inj_{kind}{q}" for q in range(injq) for kind in ("fp", "e")
     )
 
 
-def _unpack_rows(rows, carry):
+def _pack_rows(carry, rows):
+    return jnp.concatenate(
+        [carry[k].astype(I32)[None, :] for k in rows], axis=0
+    )
+
+
+def _unpack_rows(out_rows, carry, rows):
     out = dict(carry)
-    for i, k in enumerate(ROWS):
-        v = rows[i]
+    for i, k in enumerate(rows):
+        v = out_rows[i]
         out[k] = (v != 0) if k in BOOL_ROWS else v
     return out
 
@@ -257,6 +277,41 @@ def _tree_gather_rows(xs, idx):
 _INJ_MARK = -(2 ** 31)  # int32 bit 31: "entry present" marker
 
 
+def _fp_of_t0(t0):
+    """Compressed 18-bit fingerprint class of a state-register value
+    for injection matching (bits 18+ carry the symbol).  The ``t``/
+    ``t0`` registers hold one of: an untagged full state id (< 2^15,
+    written by injected transitions), ``TAG_COLD|cid`` (cid ≤ 2047),
+    ``TAG_EPSOF|pay`` (lazy fused-boundary backtrack sentinel), or
+    ``TAG_HOT|hid``.  The first three map to disjoint ranges —
+    ``id``, ``0x10000|cid``, ``0x20000|pay`` — so equality of
+    fingerprints implies equality of the underlying register values.
+    TAG_HOT values alias untagged ids, but every injection consumer
+    gates on ``t0_hid < 0``, which excludes hot lanes."""
+    is_cold = (t0 & TAG_COLD) != 0
+    is_epso = (t0 & TAG_EPSOF) != 0
+    return jnp.where(
+        is_cold, (1 << 16) | (t0 & PAYLOAD_MASK),
+        jnp.where(is_epso, (1 << 17) | (t0 & PAYLOAD_MASK), t0 & 0x7FFF),
+    )
+
+
+def _pack_inj(e):
+    """Repack a raw svc_packed entry into the kernel's injected-entry
+    layout: flag bits aligned with plane entries (valid=1, hot=0,
+    nontok=4, ε=8, lc=16), hid+1 at bits 5..15, full target id at bits
+    16..30, present mark at bit 31."""
+    return (
+        jnp.int32(_INJ_MARK)
+        | (e != 0).astype(I32)
+        | (((e >> 18) & 1) << 2)
+        | (((e >> 19) & 1) << 3)
+        | (((e >> 20) & 1) << 4)
+        | (((e >> 21) & 0x3FF) << 5)
+        | ((e & 0x7FFF) << 16)
+    )
+
+
 def _dedup_gather(table, idx, need, NU, lane_iota):
     """Exact gather ``table[idx]`` for the ``need`` lanes, paying the
     serial-gather cost only for UNIQUE indices.
@@ -299,7 +354,7 @@ def _dedup_gather(table, idx, need, NU, lane_iota):
 
 def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
                  early_exit=False, pring=PRING, ch=0, pool=8,
-                 inj_mode=True):
+                 inj_mode=True, injq=INJQ):
     # w_ref is a per-LANE ring-window base row (1, BL): window bases
     # are computed per G-lane group outside the kernel (see
     # _run_machine_pallas wgrp), so heterogeneous lanes only convoy
@@ -370,30 +425,34 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
             # consumed flag bits are equally zero
             entry = jnp.where(a > 0, (lo + 128) | ((hi + 128) << 8), 0)
             if with_inj:
-                # Injected cold entry: the outer loop memoized the
-                # exact general fetch for the (req_t0, req_a) pair
-                # this lane cold-stalled on; apply it when the lane's
-                # CURRENT fetch matches that fingerprint (the read
-                # phase is idempotent, so the pair is stable while
-                # stalled — and re-applying the same entry to a
-                # repeated identical fetch is exact: it is a pure
-                # function of the pair).  Injections are only
-                # computed BETWEEN rounds, so this branch is built
-                # into the round's FIRST step only — the other K−1
-                # steps carry zero injection cost.  The injected
+                # Injected cold entries: the outer loop memoized exact
+                # general fetches for the (state, symbol) pairs it
+                # predicts this lane's cold walk needs (slot 0 = the
+                # recorded stall request, slots 1.. = the predicted
+                # consume chain from its target); apply a slot when the
+                # lane's CURRENT fetch matches its fingerprint.  A
+                # transition entry is a pure function of its (state,
+                # symbol) pair, so a matching slot is exact at ANY
+                # step — mispredicted slots simply never match and a
+                # cold target with no matching slot stalls and
+                # re-enters the request loop as before.  The injected
                 # value is pre-packed with its FLAG bits in the
                 # plane-entry layout (valid=1, hot=0, nontok=4, ε=8,
                 # lc=16), so the flag extraction below is shared with
                 # the plane path; only the target (full state id,
                 # untagged — decode passes it through; bits 16..30)
-                # and hot id (bits 5..15) need their own selects.  A
-                # cold target simply stalls again at its next fetch
-                # and re-enters the request loop.
-                inj = carry["inj"]
-                use_inj = (
-                    (inj < 0) & (t0_hid < 0)
-                    & (t0 == carry["req_t0"]) & (a == carry["req_a"])
+                # and hot id (bits 5..15) need their own selects.
+                probe_fp = _fp_of_t0(t0) | (a << 18)
+                hit = (carry["inj_e0"] < 0) & (
+                    carry["inj_fp0"] == probe_fp
                 )
+                inj = jnp.where(hit, carry["inj_e0"], 0)
+                for q in range(1, injq):
+                    e_q = carry[f"inj_e{q}"]
+                    h_q = (e_q < 0) & (carry[f"inj_fp{q}"] == probe_fp)
+                    inj = jnp.where(h_q, e_q, inj)
+                    hit = hit | h_q
+                use_inj = hit & (t0_hid < 0)
                 entry = jnp.where(use_inj, inj & 0x1D, entry)
             valid = (entry & 1) != 0
             hot_t = (entry & 2) != 0
@@ -451,20 +510,18 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
             unknown_cls=unknown_cls,
             eps_cls=eps_cls,
         )
-        # The round's FIRST step consumes pending injections (they
-        # only arrive between rounds), all later steps run the plain
-        # (injection-free) fetch — so the common step carries zero
-        # injection cost.  The first step tracks (it writes req rows
-        # for any immediately re-stalled lane; later track steps
+        # Every step consumes pending injection slots (chain slots are
+        # spent over CONSECUTIVE steps as the lane walks its predicted
+        # cold chain); the per-step cost is the fingerprint probe plus
+        # injq compare/selects — measured small against the one-hot
+        # build and ring tree.  The first step tracks (it writes req
+        # rows for any immediately re-stalled lane; later track steps
         # overwrite them).
         step_first = _make_step(track_counts=True, **step_kwargs)
-        step_kwargs_plain = dict(
-            step_kwargs, fetch_trans=make_fetch_trans(False)
-        )
-        step = _make_step(track_counts=False, **step_kwargs_plain)
+        step = _make_step(track_counts=False, **step_kwargs)
         # the tracking variant pays vector→scalar reductions (stall /
         # cold counts) — run it only on the last step of each chunk
-        step_track = _make_step(track_counts=True, **step_kwargs_plain)
+        step_track = step_first
 
         rows_in = rows_ref[...]
 
@@ -483,7 +540,8 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
         # static 2D slices (no 1D relayouts in Mosaic); bool registers
         # stay int32 across loop iterations — Mosaic cannot round-trip
         # i1 vectors through loop carries (i8→i1 trunci is unsupported)
-        carry = {k: rows_in[i : i + 1, :] for i, k in enumerate(ROWS)}
+        rows_t = _rows(injq if inj_mode else 0)
+        carry = {k: rows_in[i : i + 1, :] for i, k in enumerate(rows_t)}
         carry["steps"] = jnp.int32(0)
         carry["stalls"] = jnp.int32(0)
         carry["cold"] = jnp.int32(0)
@@ -557,7 +615,7 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
             )
 
         out_rows = jnp.concatenate(
-            [carry[k].astype(I32) for k in ROWS], axis=0
+            [carry[k].astype(I32) for k in rows_t], axis=0
         )
         out_rows_ref[...] = out_rows
         info_ref[...] = jnp.full((1, BL), carry["steps"], I32)
@@ -566,7 +624,8 @@ def _make_kernel(spec: HotSpec, *, eps, unknown, identity, K, BL,
 
 
 def _kernel_call(spec, *, eps, unknown, identity, K, BL, B, early_exit,
-                 interpret, pring=PRING, ch=0, pool=8, inj_mode=True):
+                 interpret, pring=PRING, ch=0, pool=8, inj_mode=True,
+                 injq=INJQ):
     if interpret:
         # chunking only pays on hardware (it cuts Mosaic's per-step
         # vector→scalar reductions); in interpreter mode the unrolled
@@ -575,31 +634,32 @@ def _kernel_call(spec, *, eps, unknown, identity, K, BL, B, early_exit,
     kernel = _make_kernel(
         spec, eps=eps, unknown=unknown, identity=identity, K=K, BL=BL,
         early_exit=early_exit, pring=pring, ch=ch, pool=pool,
-        inj_mode=inj_mode,
+        inj_mode=inj_mode, injq=injq,
     )
     H = spec.H
     W = spec.C_pad if spec.cls_tab is not None else spec.A_pad
     grid = (B // BL,)
+    nc = len(_rows(injq if inj_mode else 0))
 
     def call(w, rows, ring_T, planes):
         return pl.pallas_call(
             kernel,
             out_shape=(
-                jax.ShapeDtypeStruct((NC, B), I32),
+                jax.ShapeDtypeStruct((nc, B), I32),
                 jax.ShapeDtypeStruct((K, B), I32),
                 jax.ShapeDtypeStruct((1, B), I32),
             ),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((NC, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nc, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((pring, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
                     (2 * H, W), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=(
-                pl.BlockSpec((NC, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nc, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((K, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, BL), lambda i: (0, i), memory_space=pltpu.VMEM),
             ),
@@ -642,7 +702,7 @@ def _general_fetches_T(rep, tables, meta_T):
     static_argnames=(
         "eps", "unknown", "identity", "rep", "spec", "max_steps",
         "service_k", "K", "BL", "early_exit", "interpret", "pring", "ch",
-        "pool", "wgrp", "svc_ns",
+        "pool", "wgrp", "svc_ns", "injq",
     ),
 )
 def _run_machine_pallas(
@@ -672,6 +732,7 @@ def _run_machine_pallas(
     pool=8,
     wgrp=0,
     svc_ns=-1,
+    injq=INJQ,
 ):
     """Fused-kernel machine: K-step Pallas rounds + XLA service steps."""
     L, B = meta_T.shape
@@ -708,11 +769,14 @@ def _run_machine_pallas(
     # service path.
     inj_mode = has_svc and svc_ns != 0 and rep.S < (1 << 15)
 
+    if injq < 1:
+        injq = 1
     call = _kernel_call(
         spec, eps=eps, unknown=unknown, identity=identity, K=K, BL=BL,
         B=B, early_exit=early_exit, interpret=interpret, pring=pring,
-        ch=ch, pool=pool, inj_mode=inj_mode,
+        ch=ch, pool=pool, inj_mode=inj_mode, injq=injq,
     )
+    rows_t = _rows(injq if inj_mode else 0)
 
     aux_map = (
         (hot_index.astype(jnp.int32) + 1)
@@ -883,11 +947,11 @@ def _run_machine_pallas(
             axis=1,
         )
         w_lane = jnp.repeat(w_grp, G).astype(I32)
-        rows = _pack_rows(carry)
+        rows = _pack_rows(carry, rows_t)
         out_rows, ys_chunk, info = call(
             w_lane.reshape(1, B), rows, ring_T, planes
         )
-        out = _unpack_rows(out_rows, carry)
+        out = _unpack_rows(out_rows, carry, rows_t)
         n_inner = jnp.max(info[0])
         out["ys"] = jax.lax.dynamic_update_slice(
             carry["ys"], ys_chunk, (carry["steps"], 0)
@@ -921,22 +985,105 @@ def _run_machine_pallas(
             v = _dedup_gather(
                 svc_packed, inj_idx, need, NU, lane_iota
             )
-            # repack into the kernel's injected-entry layout: flag
-            # bits aligned with plane entries (valid=1, hot=0,
-            # nontok=4, eps=8, lc=16), hid+1 at bits 5..15, full
-            # target id at bits 16..30, present mark at bit 31
             e = v & jnp.int32(0x7FFFFFFF)
-            out["inj"] = jnp.where(
-                v < 0,
-                jnp.int32(_INJ_MARK)
-                | (e != 0).astype(I32)
-                | (((e >> 18) & 1) << 2)
-                | (((e >> 19) & 1) << 3)
-                | (((e >> 20) & 1) << 4)
-                | (((e >> 21) & 0x3FF) << 5)
-                | ((e & 0x7FFF) << 16),
-                0,
+            # Slot 0: the answered stall request, fingerprinted by the
+            # TAGGED req_t0 the kernel recorded (the kernel's probe
+            # compresses its live t0 the same way — _fp_of_t0).
+            fp_rows = jnp.zeros((injq, B), I32)
+            e_rows = jnp.zeros((injq, B), I32)
+            fp_rows = fp_rows.at[0].set(
+                jnp.where(v < 0, _fp_of_t0(req_t0) | (req_a << 18), 0)
             )
+            e_rows = e_rows.at[0].set(
+                jnp.where(v < 0, _pack_inj(e), 0)
+            )
+            # Chain PREDICTION (slots 1..injq-1): walk the general
+            # table forward along each stalled lane's upcoming input
+            # symbols, injecting the whole predicted cold chain so the
+            # kernel consumes one entry per STEP instead of one per
+            # ROUND (round-4's measured cold-chain cost: ~10-step
+            # rounds that are all launch+glue, 181 of them on the
+            # mixed-real bench).  The prediction simulates only the
+            # consume path — a predicted pair that the real machine
+            # never fetches (ε boundary, run skip, backtrack, EOT)
+            # self-invalidates by fingerprint mismatch at zero cost.
+            # Position bookkeeping: slot 0 consumes at the stalled
+            # cursor c (or rewinds without advancing if the request
+            # was an ε fetch), so slot q≥1 fetches the symbol at
+            # c + (req_a != ε) + q − 1, read from the SAME per-group
+            # ring window the kernel round just used (stalled lanes
+            # are their group's slow lanes, so the window covers them;
+            # out-of-window positions just end the chain).  The walk
+            # stops at hot targets (the planes serve those), invalid
+            # entries (the real machine backtracks — unpredictable
+            # here), EOT, and end-of-lane.  The whole loop runs only
+            # while ≥ CH_MIN chains survive: uniform batches (a
+            # handful of requests) pay ZERO chain iterations — the
+            # while_loop body never executes (a single-iteration
+            # while_loop is a true branch on TPU, see BENCH_LOG
+            # hardware facts).
+            hid0 = ((e >> 21) & 0x3FF) - 1
+            chn0 = (v < 0) & (e != 0) & (hid0 < 0)
+            base = out["c"] + (req_a != eps).astype(I32)
+            CH_MIN = max(16, B // 2048)
+            n0 = jnp.sum(chn0.astype(I32))
+
+            def chain_cond(st):
+                return (st["q"] < injq) & (st["n"] >= CH_MIN)
+
+            def chain_body(st):
+                q = st["q"]
+                pos = base + q - 1
+                off = pos - w_lane
+                okw = (off >= 0) & (off < pring) & (pos < out["length"])
+                (mq,) = _tree_gather_rows(
+                    (ring_T,), jnp.clip(off, 0, pring - 1)[None, :]
+                )
+                mq = mq[0]
+                a_q = mq & META_A_MASK
+                ok_ch = (
+                    st["chn"] & okw & (a_q > 0)
+                    & ((mq & META_EOT) == 0)
+                )
+                idx_q = jnp.clip(
+                    (a_q - 1) * S_full + st["t"],
+                    0, svc_packed.shape[0] - 1,
+                )
+                v_q = _dedup_gather(
+                    svc_packed, idx_q, ok_ch, NU, lane_iota
+                )
+                e_q = v_q & jnp.int32(0x7FFFFFFF)
+                got = v_q < 0
+                # untagged full-id fingerprint class (< 2^15)
+                fp_q = (st["t"] & 0x7FFF) | (a_q << 18)
+                st["fp"] = jax.lax.dynamic_update_slice(
+                    st["fp"], jnp.where(got, fp_q, 0)[None, :], (q, 0)
+                )
+                st["e"] = jax.lax.dynamic_update_slice(
+                    st["e"], jnp.where(got, _pack_inj(e_q), 0)[None, :],
+                    (q, 0),
+                )
+                hid_q = ((e_q >> 21) & 0x3FF) - 1
+                st["t"] = e_q & 0x7FFF
+                st["chn"] = got & (e_q != 0) & (hid_q < 0) & ok_ch
+                st["n"] = jnp.sum(st["chn"].astype(I32))
+                st["q"] = q + 1
+                return st
+
+            st = jax.lax.while_loop(
+                chain_cond, chain_body,
+                {
+                    "q": jnp.int32(1),
+                    "n": n0,
+                    "t": e & 0x7FFF,
+                    "chn": chn0,
+                    "fp": fp_rows,
+                    "e": e_rows,
+                },
+            )
+            for q in range(injq):
+                out[f"inj_fp{q}"] = st["fp"][q]
+                out[f"inj_e{q}"] = st["e"][q]
             # services remain only as a safety net: a round that made
             # no progress at all (shouldn't happen — injected lanes
             # advance next round) or the staleness heartbeat.
@@ -944,9 +1091,9 @@ def _run_machine_pallas(
             # dense cold pools — to walk cold CHAINS in one boundary —
             # measured strictly worse on every workload: each service
             # still pays the 4-register tagged decode + step, ~0.5 ms;
-            # hetero 277 → 166, mixed 131 → 63 MB/s.  Injection-only
-            # remains the steady state; cold chains cost one round per
-            # character and the real lever is hot-set COVERAGE.)
+            # hetero 277 → 166, mixed 131 → 63 MB/s.  Chain INJECTION
+            # replaced that: the chain is walked outside the step
+            # machine, so it pays plain gathers, not decodes+steps.)
             out["need_srv"] = jnp.any(live2) & (
                 (n_inner == 0) | (out["since"] >= service_k)
             )
@@ -1009,8 +1156,9 @@ def _run_machine_pallas(
     init["since"] = jnp.int32(0)
     init["rounds"] = jnp.int32(0)
     init["burst"] = jnp.int32(0)
-    for k in ("inj", "req_t0", "req_a"):
-        init[k] = jnp.zeros(B, I32)
+    for k in rows_t:
+        if k not in init:
+            init[k] = jnp.zeros(B, I32)
     init["services"] = jnp.int32(0)
     out = jax.lax.while_loop(outer_cond, outer_body, init)
 

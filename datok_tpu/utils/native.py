@@ -94,6 +94,11 @@ def get_lib():
             ctypes.c_int64, i32p,
         ]
         i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.dt_cold_rate.restype = ctypes.c_int64
+        lib.dt_cold_rate.argtypes = [
+            u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, i32p, ctypes.c_int64, i8p, i64p,
+        ]
         lib.dt_cut_walk.restype = ctypes.c_int64
         lib.dt_cut_walk.argtypes = [
             u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -431,6 +436,37 @@ def native_transduce_events(
     if as_array:
         return tri.copy()
     return [tuple(r) for r in tri.tolist()]
+
+
+def native_cold_rate(tok, metas: np.ndarray, hot_mask: np.ndarray):
+    """Cold-fetch fraction of the exact transduce walk over ``metas``
+    against a hot-set membership bitmap, or ``None`` when the native
+    library is unavailable.
+
+    ``hot_mask``: uint8 (state_count + 1,), 1 for hot states.  Returns
+    ``(cold, fetches)`` — each cold fetch is a would-be stall of the
+    fused kernel, the statistic that drives adaptive hot-set selection
+    (every stall costs roughly one kernel round of latency for the
+    lane, see pallas_engine's injection note).
+    """
+    lib = get_lib()
+    if lib is None or tok.type() != "MATOK":
+        return None
+    table = getattr(tok, "_native_table", None)
+    if table is None:
+        table = np.ascontiguousarray(tok.array, dtype=np.uint32)
+        tok._native_table = table
+    metas = np.ascontiguousarray(metas, dtype=np.int32)
+    hot_mask = np.ascontiguousarray(hot_mask, dtype=np.uint8)
+    fetches = np.zeros(1, dtype=np.int64)
+    cold = lib.dt_cold_rate(
+        _ptr(table, ctypes.c_uint32), tok.state_count,
+        tok.epsilon, tok.unknown, tok.identity,
+        _ptr(metas, ctypes.c_int32), len(metas),
+        _ptr(hot_mask, ctypes.c_uint8),
+        fetches.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return int(cold), int(fetches[0])
 
 
 def native_cut_walk(
