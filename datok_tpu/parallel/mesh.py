@@ -95,6 +95,10 @@ class ShardedEngine(BatchEngine):
         self.axes = tuple(mesh.axis_names)
         self.n_shards = int(np.prod([mesh.shape[a] for a in self.axes]))
         super().__init__(tok, **kwargs)
+        # per-wave hot specs swap tables under the single-chip jit;
+        # the sharded call closes over its replicated tables, so the
+        # mesh engine runs the profile spec (run_raw_device guards)
+        self.per_wave = False
         self.last_shard_steps = np.zeros(self.n_shards, np.int32)
         self.last_padded_lanes = 0
         self._repl = NamedSharding(mesh, P())
@@ -192,13 +196,20 @@ class ShardedEngine(BatchEngine):
 
         return call
 
-    def run_raw_device(self, meta, lengths, entries=None, stops=None):
+    def run_raw_device(self, meta, lengths, entries=None, stops=None,
+                       spec=None):
         """Run the sharded device machine; returns device arrays.
 
         Same contract as :meth:`BatchEngine.run_raw_device` plus a
         ``stats`` attribute (``last_counters``) of globally-reduced
         corpus counters.
         """
+        if spec is not None and spec is not self.spec:
+            raise NotImplementedError(
+                "per-wave hot specs are single-chip machinery; the "
+                "sharded engine runs its profile spec (per_wave is "
+                "forced off in __init__)"
+            )
         meta = np.asarray(meta)
         B0 = meta.shape[0]
         meta, lengths, _ = self.pad_batch(meta, np.asarray(lengths, np.int32))

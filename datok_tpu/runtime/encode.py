@@ -73,6 +73,26 @@ class SymbolEncoder:
         self.fallback = self.identity if self.identity != -1 else 0
         self._lc_mask_u8 = None  # cached u8 view for the native encoder
 
+    def with_cls(self, cls_tab) -> "SymbolEncoder":
+        """Shallow copy with a different symbol→class table (per-wave
+        hot specs re-partition classes); shares the sigma tables and
+        re-seeds the native-encoder table cache so no per-wave rebuild
+        happens."""
+        import copy
+
+        enc = copy.copy(self)
+        enc.cls_tab = None if cls_tab is None else np.asarray(
+            cls_tab, dtype=np.int32
+        )
+        old = self.__dict__.get("_native_tabs")
+        if old is not None:
+            enc._native_tabs = old[:4] + (
+                None
+                if enc.cls_tab is None
+                else np.ascontiguousarray(enc.cls_tab, dtype=np.int32),
+            )
+        return enc
+
     def encode(self, cp: np.ndarray) -> np.ndarray:
         """codepoints (…,) int32 → packed meta (…,) int32."""
         cp = np.asarray(cp, dtype=np.int32)

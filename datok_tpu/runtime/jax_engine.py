@@ -65,7 +65,7 @@ import jax.numpy as jnp
 from ..fsa.io import FIRSTBIT, RESTBIT
 from .encode import (META_A_MASK, META_CLS_MASK, META_CLS_SHIFT, META_EOT,
                      META_FOUND, META_NONASCII, META_RUN_MASK,
-                     META_RUN_SHIFT, SymbolEncoder)
+                     META_RUN_SHIFT, SymbolEncoder, text_to_codepoints)
 from .events import EV_SENT, EV_TEXT, EV_TOKEN
 
 I32 = jnp.int32
@@ -740,18 +740,127 @@ def _run_machine(tables, meta, length, ctx_init, stop_flags=None,
 # ---------------------------------------------------------------------------
 
 
-class HotSpec:
-    """Precomputed hot-set tables for the matrix representation."""
+def _tok_static(tok):
+    """Hot-set-INDEPENDENT precomputations, cached on the tokenizer.
 
-    def __init__(self, tok, hot_states: np.ndarray):
-        rep = MatrixRep(tok)
-        S, A = rep.S, rep.max_sym
-        arr = np.asarray(tok.array, dtype=np.uint32)
-        eps = rep.eps
+    Everything here depends only on the transition table, so per-wave
+    hot specs (:meth:`HotSpec.for_wave`) reuse it and pay only the
+    (A, H)-sized hot-dependent work — measured ~5 ms per spec vs
+    ~100 ms for a cold build dominated by these S-sized passes.
+    """
+    st = getattr(tok, "_hotspec_static", None)
+    if st is not None:
+        return st
+    rep = MatrixRep(tok)
+    S, A = rep.S, rep.max_sym
+    arr = np.asarray(tok.array, dtype=np.uint32)
+    eps = rep.eps
+
+    # ε availability per state (probe semantics, matrix.go:442)
+    states = np.arange(S + 1, dtype=np.int64)
+    eps_cells = arr[(eps - 1) * S + states]
+    eps_avail = eps_cells != 0
+    eps_avail[0] = False
+    eps_avail = eps_avail.astype(np.uint8)
+
+    # letter-absorbing states: self-loop (no nontoken flag) on every
+    # letter of an adaptively chosen skip class — these consume
+    # whole letter runs in one step (semantically exact: each
+    # skipped char would probe the same ε bit and take the same
+    # self-arc).  The class starts as ASCII [a-z] and greedily
+    # drops letters that break many otherwise-absorbing states
+    # (e.g. the DE grammar routes 's' through genitive machinery,
+    # so the word-interior state loops on everything but 's').
+    letters = [cp for cp in range(ord("a"), ord("z") + 1) if cp in tok.sigma]
+    lc_avail = np.zeros(S + 1, dtype=np.uint8)
+    lc_mask = np.zeros(128, dtype=bool)
+    if letters:
+        syms = np.array([tok.sigma[cp] for cp in letters], dtype=np.int64)
+        cells_lc = arr[((syms[:, None] - 1) * S + states[None, :])]
+        ok_lc = (
+            (cells_lc != 0)
+            & ((cells_lc & ~np.uint32(FIRSTBIT)) == states[None, :])
+            & ((cells_lc >> 31) == 0)
+        )  # (len(letters), S+1)
+        counts = ok_lc.sum(axis=0)
+        cand = counts >= max(1, int(len(letters) * 0.75))  # absorbing-ish
+        keep = np.ones(len(letters), dtype=bool)
+        for _ in range(6):  # drop at most a few run-splitting letters
+            flagged = ok_lc[keep].all(axis=0) & cand
+            best_gain, best_i = 0, -1
+            for i in np.flatnonzero(keep):
+                k2 = keep.copy()
+                k2[i] = False
+                gain = int((ok_lc[k2].all(axis=0) & cand).sum()) - int(
+                    flagged.sum()
+                )
+                if gain > best_gain:
+                    best_gain, best_i = gain, i
+            if best_i < 0 or best_gain < max(4, int(cand.sum() * 0.1)):
+                break
+            keep[best_i] = False
+        lc_avail = (ok_lc[keep].all(axis=0)).astype(np.uint8)
+        lc_avail[0] = 0
+        for i in np.flatnonzero(keep):
+            lc_mask[letters[i]] = True
+
+    # packed service-fetch static table (hot-set-independent part):
+    # target (18 b) | nontoken (1) | ε-avail (1) | lc-avail (1).  The
+    # per-hot-set hot id (bits 21..30) is composed ON DEVICE at the
+    # dedup-gather's unique stage from the spec's hot_index — keeping
+    # this 4·A·S-byte table constant across per-wave hot specs (a
+    # per-wave rebuild would re-upload ~12.5 MB per wave for the DE
+    # model; hot_index is 73 KB).
+    svc_static = None
+    if (S + 1) <= (1 << 18):
+        tgt_all = (arr & ~np.uint32(FIRSTBIT)).astype(np.int64)
+        nt_all = (arr >> 31).astype(np.int64)
+        svc_static = np.where(
+            arr == 0,
+            0,
+            tgt_all
+            | (nt_all << 18)
+            | (eps_avail[tgt_all].astype(np.int64) << 19)
+            | (lc_avail[tgt_all].astype(np.int64) << 20),
+        ).astype(np.int32)
+
+    st = dict(
+        rep=rep, S=S, A=A, arr=arr, eps=eps,
+        eps_cells=eps_cells, eps_avail=eps_avail,
+        lc_avail=lc_avail, lc_mask=lc_mask, svc_static=svc_static,
+    )
+    tok._hotspec_static = st
+    return st
+
+
+class HotSpec:
+    """Precomputed hot-set tables for the matrix representation.
+
+    Two specs with equal :attr:`sig` (hash/eq below) are interchangeable
+    as the jitted machines' static argument: every scalar the tracers
+    bake in (shapes H/A_pad/C_pad, the cold-table width, state-1
+    properties, pinned ε/unknown class ids, capability flags) is in the
+    signature, and every ARRAY flows through traced arguments — so
+    per-wave hot specs (:meth:`for_wave`) reuse one compiled machine
+    and swap only table data.
+    """
+
+    def __init__(self, tok, hot_states: np.ndarray, *, cold_p2=None):
+        st = _tok_static(tok)
+        rep = st["rep"]
+        S, A = st["S"], st["A"]
+        arr = st["arr"]
+        eps = st["eps"]
+        eps_cells = st["eps_cells"]
+        eps_avail = st["eps_avail"].astype(bool)
+        lc_avail = st["lc_avail"]
+        states = np.arange(S + 1, dtype=np.int64)
 
         hot_states = np.asarray(hot_states, dtype=np.int64)
-        if 1 not in hot_states:
-            hot_states = np.concatenate([[1], hot_states])
+        # state 1 rides slot 0 in every spec (hid1=0), so specs built
+        # from different hot sets share one static signature — and one
+        # compiled machine (sig doc above)
+        hot_states = np.concatenate([[1], hot_states[hot_states != 1]])
         H = len(hot_states)
         self.H = H
         self.A_pad = ((A + 1 + 127) // 128) * 128
@@ -762,54 +871,9 @@ class HotSpec:
         self.hot_full = hot_states.astype(np.int32)
         self.hid1 = int(hot_index[1])
 
-        # ε availability per state (probe semantics, matrix.go:442)
-        states = np.arange(S + 1, dtype=np.int64)
-        eps_cells = arr[(eps - 1) * S + states]
-        eps_avail = eps_cells != 0
-        eps_avail[0] = False
-        self.eps_avail = eps_avail.astype(np.uint8)
+        self.eps_avail = st["eps_avail"]
         self.eps1 = bool(eps_avail[1])
-
-        # letter-absorbing states: self-loop (no nontoken flag) on every
-        # letter of an adaptively chosen skip class — these consume
-        # whole letter runs in one step (semantically exact: each
-        # skipped char would probe the same ε bit and take the same
-        # self-arc).  The class starts as ASCII [a-z] and greedily
-        # drops letters that break many otherwise-absorbing states
-        # (e.g. the DE grammar routes 's' through genitive machinery,
-        # so the word-interior state loops on everything but 's').
-        letters = [cp for cp in range(ord("a"), ord("z") + 1) if cp in tok.sigma]
-        lc_avail = np.zeros(S + 1, dtype=np.uint8)
-        self.lc_mask = np.zeros(128, dtype=bool)
-        if letters:
-            syms = np.array([tok.sigma[cp] for cp in letters], dtype=np.int64)
-            cells_lc = arr[((syms[:, None] - 1) * S + states[None, :])]
-            ok_lc = (
-                (cells_lc != 0)
-                & ((cells_lc & ~np.uint32(FIRSTBIT)) == states[None, :])
-                & ((cells_lc >> 31) == 0)
-            )  # (len(letters), S+1)
-            counts = ok_lc.sum(axis=0)
-            cand = counts >= max(1, int(len(letters) * 0.75))  # absorbing-ish
-            keep = np.ones(len(letters), dtype=bool)
-            for _ in range(6):  # drop at most a few run-splitting letters
-                flagged = ok_lc[keep].all(axis=0) & cand
-                best_gain, best_i = 0, -1
-                for i in np.flatnonzero(keep):
-                    k2 = keep.copy()
-                    k2[i] = False
-                    gain = int((ok_lc[k2].all(axis=0) & cand).sum()) - int(
-                        flagged.sum()
-                    )
-                    if gain > best_gain:
-                        best_gain, best_i = gain, i
-                if best_i < 0 or best_gain < max(4, int(cand.sum() * 0.1)):
-                    break
-                keep[best_i] = False
-            lc_avail = (ok_lc[keep].all(axis=0)).astype(np.uint8)
-            lc_avail[0] = 0
-            for i in np.flatnonzero(keep):
-                self.lc_mask[letters[i]] = True
+        self.lc_mask = st["lc_mask"]
         self.lc_avail = lc_avail
         self.lc1 = bool(lc_avail[1])
 
@@ -927,6 +991,21 @@ class HotSpec:
             # by construction.  Class ids must fit 7 bits, so the
             # compressed width is the 128-lane tile exactly.
             uq, inv = np.unique(full16, axis=0, return_inverse=True)
+            inv = inv.reshape(-1)
+            # pin the ε and unknown class ids (ε→0, unknown→next):
+            # the service step bakes them into the compiled machine as
+            # Python constants, so pinning keeps the static signature
+            # identical across per-wave hot specs (class numbering is
+            # otherwise arbitrary)
+            ce, cu = int(inv[eps]), int(inv[rep.unknown])
+            head = [ce] + ([cu] if cu != ce else [])
+            order = np.array(
+                head + [c for c in range(len(uq)) if c not in (ce, cu)],
+                dtype=np.int64,
+            )
+            rank = np.empty(len(uq), dtype=np.int64)
+            rank[order] = np.arange(len(uq))
+            uq, inv = uq[order], rank[inv]
             if len(uq) <= 128 and self.A_pad > 128:
                 self.C_pad = 128
                 self.cls_tab = inv.astype(np.int32)
@@ -943,6 +1022,13 @@ class HotSpec:
             cp2 = 1
             while cp2 < max(2, self.n_cold):
                 cp2 *= 2
+            if cold_p2 is not None:
+                # pinned cold-table width: per-wave specs share the
+                # decode-plane shape (and the compiled machine) even
+                # as their cold-target counts vary
+                if self.n_cold > cold_p2:
+                    self.pallas_ok = False
+                cp2 = max(cp2, int(cold_p2))
             cf = np.zeros(cp2, dtype=np.int32)
             cf[: self.n_cold] = cold_targets.astype(np.int32)
             self.cold_full_p2 = cf
@@ -950,26 +1036,70 @@ class HotSpec:
         # ---- packed service-fetch table ---------------------------------
         # The XLA service step between kernel rounds pays THREE serial
         # per-lane gathers (meta, transition, aux hid/ε/lc refresh) at
-        # ~40 ns/lane each — ~18% of a bench run at B=32K.  This table
-        # packs everything the step needs about a transition into ONE
-        # int32 per (symbol, state) cell, same indexing as the raw
-        # matrix (matrix.go:463): target (18 b) | nontoken (1) |
-        # ε-avail (1) | lc-avail (1) | hot_index+1 (10 b).  One gather
-        # replaces transition+aux; the meta gather is replaced by a
-        # windowed ring tree-select (pallas_engine service fetches).
-        self.svc_ok = (S + 1) <= (1 << 18) and H <= 1022
+        # ~40 ns/lane each — ~18% of a bench run at B=32K.  The static
+        # table (see _tok_static) packs target + nontoken + ε/lc-avail
+        # into ONE int32 per (symbol, state) cell, same indexing as the
+        # raw matrix (matrix.go:463); the hot id (bits 21..30,
+        # hot_index+1) is composed on device from this spec's
+        # hot_index at the gather's unique stage, so the table itself
+        # is shared across per-wave hot specs.  One gather replaces
+        # transition+aux; the meta gather is replaced by a windowed
+        # ring tree-select (pallas_engine service fetches).
+        self.svc_ok = st["svc_static"] is not None and H <= 1022
         if self.svc_ok:
-            tgt_all = (arr & ~np.uint32(FIRSTBIT)).astype(np.int64)
-            nt_all = (arr >> 31).astype(np.int64)
-            self.svc_packed = np.where(
-                arr == 0,
-                0,
-                tgt_all
-                | (nt_all << 18)
-                | (eps_avail[tgt_all].astype(np.int64) << 19)
-                | (lc_avail[tgt_all].astype(np.int64) << 20)
-                | ((hot_index[tgt_all].astype(np.int64) + 1) << 21),
-            ).astype(np.int32)
+            self.svc_static = st["svc_static"]
+
+        # static signature: every scalar the jitted machines bake in.
+        # Equal sig ⇒ interchangeable as the static `spec` argument
+        # (arrays travel as traced args); see class docstring.
+        ct = getattr(self, "cls_tab", None)
+        self.sig = (
+            self.H,
+            self.A_pad,
+            getattr(self, "C_pad", 0),
+            len(getattr(self, "cold_full_p2", ())),
+            self.hid1,
+            self.eps1,
+            self.lc1,
+            self.pallas_ok,
+            self.fused_ok,
+            self.svc_ok,
+            ct is not None,
+            0 if ct is None else int(ct[rep.unknown]),
+            0 if ct is None else int(ct[eps]),
+        )
+
+    def __hash__(self):
+        return hash(self.sig)
+
+    def __eq__(self, other):
+        return isinstance(other, HotSpec) and self.sig == other.sig
+
+    @classmethod
+    def for_wave(cls, base: "HotSpec", tok, hot_states: np.ndarray):
+        """Per-wave hot spec shaped to share ``base``'s compiled
+        machine: same H (trimmed or filled from ``base``'s profile
+        states), same pinned cold-table width.
+
+        Returns the new spec, or ``base`` itself when the wave spec
+        cannot share the signature (cold-target overflow, class-count
+        overflow past 128) — the caller never has to special-case.
+        Cost: ~5 ms (tok-level passes are cached, see _tok_static).
+        """
+        H = base.H
+        hs = np.asarray(hot_states, dtype=np.int64)
+        hs = hs[(hs != 1) & (hs > 0)]
+        if len(hs) >= H - 1:
+            hs = hs[: H - 1]
+        else:
+            fill = base.hot_full[
+                ~np.isin(base.hot_full, hs) & (base.hot_full != 1)
+            ]
+            hs = np.concatenate([hs, fill[: H - 1 - len(hs)]])
+        spec = cls(tok, hs, cold_p2=len(base.cold_full_p2))
+        if spec.sig != base.sig:
+            return base
+        return spec
 
     def device_tables(self):
         # hot_full padded to a power of two for the select tree
@@ -1475,6 +1605,7 @@ class BatchEngine:
         kernel_svc_ns: int = -1,
         kernel_injq: int = 0,
         pallas_interpret: bool = False,
+        per_wave: bool = False,
     ):
         if accelerated is False:
             engine = "general"
@@ -1532,7 +1663,10 @@ class BatchEngine:
             hot = profile_hot_states(
                 tok, profile_texts or default_profile_texts(tok), hot_size
             )
-            self.spec = HotSpec(tok, hot)
+            # cold-table width pinned to the pallas_ok maximum so
+            # per-wave hot specs (HotSpec.for_wave) always share this
+            # spec's static signature — and its compiled machine
+            self.spec = HotSpec(tok, hot, cold_p2=2048)
             if engine == "pallas" and not self.spec.pallas_ok:
                 engine = "hot"
             if engine == "pallas":
@@ -1576,11 +1710,116 @@ class BatchEngine:
         else:
             self.encoder = SymbolEncoder(tok)
         self.engine = engine
+        # per-wave hot specs (census-built; see wave_spec): opt-in —
+        # the fused kernel only, and only when the packed service path
+        # exists (the safety net for census misses)
+        self.per_wave = bool(
+            per_wave and engine == "pallas" and self.spec.svc_ok
+        )
         # (rounds, services, since) after a pallas run; None otherwise
         self.last_stats = None
 
     def max_steps_for(self, L: int) -> int:
         return int(self.steps_factor * L) + 64
+
+    # -- per-wave hot specs -------------------------------------------
+    # One static hot set cannot serve every workload: the committed
+    # profile corpus covers its own vocabulary (uniform DE bench 0.3%
+    # cold) but runs 4-7% cold on novel prose, and every cold
+    # transition stalls its lane for ~one kernel round (BENCH_LOG r4).
+    # A wave's OWN fetch working set, by contrast, is tiny (measured
+    # 458 states at 99.95% self-coverage on the novel-prose probe) —
+    # so each wave gets a hot spec census-built from a sample of its
+    # documents by the exact native walk, shaped (HotSpec.for_wave) to
+    # share the engine spec's compiled machine: selecting a spec swaps
+    # ~250 KB of table data under the same jit cache entry.
+
+    def census_states(self, texts, sample_chars: int = 262144):
+        """Fetch-frequency state census of a document sample (exact
+        native walk), or None when unavailable.  Samples are document
+        prefixes round-robin across ≤256 docs, joined by newlines."""
+        from ..utils.native import native_state_census
+
+        n = len(texts)
+        if n == 0:
+            return None
+        take = max(256, sample_chars // max(1, min(n, 256)))
+        step = max(1, n // 256)
+        parts = []
+        got = 0
+        for i in range(0, n, step):
+            t = texts[i]
+            if len(t) > 2 * take:
+                # cover the interior too: long-document vocabulary is
+                # not all in the prefix (the join '\n' re-grounds the
+                # walk at a boundary symbol)
+                mid = len(t) // 2
+                parts.append(t[: take // 2])
+                parts.append(t[mid : mid + take - take // 2])
+            else:
+                parts.append(t[:take])
+            got += min(len(t), take)
+            if got >= sample_chars:
+                break
+        cps = text_to_codepoints("\n".join(parts))
+        metas = self.encoder.encode(cps)
+        r = native_state_census(self.tok, np.asarray(metas, np.int32))
+        if r is None:
+            return None
+        counts, _fetches = r
+        return counts
+
+    def wave_spec(self, texts, sample_chars: int = 262144):
+        """Per-wave hot spec for ``texts`` (see block comment above);
+        returns ``self.spec`` unchanged when the engine is not the
+        fused kernel, the native census is unavailable, or the wave
+        spec cannot share the compiled machine."""
+        if self.engine != "pallas" or not self.spec.svc_ok:
+            return getattr(self, "spec", None)
+        counts = self.census_states(texts, sample_chars)
+        if counts is None:
+            return self.spec
+        states = np.flatnonzero(counts)
+        if len(states) > self.spec.H - 1:
+            states = states[np.argsort(-counts[states])][: self.spec.H - 1]
+        states = np.sort(states)
+        key = states.tobytes()
+        cache = getattr(self, "_wave_spec_cache", None)
+        if cache is None:
+            cache = self._wave_spec_cache = {}
+        spec = cache.get(key)
+        if spec is None:
+            if len(cache) > 16:
+                cache.clear()
+            spec = HotSpec.for_wave(self.spec, self.tok, states)
+            cache[key] = spec
+        return spec
+
+    def _wave_parts(self, spec):
+        """(PallasSpec, encoder) for a per-wave spec, cached by spec
+        identity — repeated hot sets (wave_spec's key cache returns
+        the same object) reuse the device tables and encoder."""
+        if spec is self.spec:
+            return self.pallas_spec, self.encoder
+        cache = getattr(self, "_wave_parts_cache", None)
+        if cache is None:
+            cache = self._wave_parts_cache = {}
+        v = cache.get(id(spec))
+        if v is None or v[0] is not spec:
+            from .pallas_engine import PallasSpec
+
+            if len(cache) > 16:
+                cache.clear()
+            v = (spec, PallasSpec(spec),
+                 self.encoder.with_cls(spec.cls_tab))
+            cache[id(spec)] = v
+        return v[1], v[2]
+
+    def _pallas_spec_for(self, spec):
+        return self._wave_parts(spec)[0]
+
+    def encoder_for(self, spec):
+        return self._wave_parts(spec)[1]
 
     def run_raw_device(
         self,
@@ -1588,8 +1827,14 @@ class BatchEngine:
         lengths: np.ndarray,
         entries: Optional[np.ndarray] = None,
         stops: Optional[np.ndarray] = None,
+        spec: Optional[HotSpec] = None,
     ):
         """Run the device machine; returns *device* arrays.
+
+        ``spec``: optional per-wave hot spec (:meth:`wave_spec`) — used
+        by the fused-kernel engine only; it must share ``self.spec``'s
+        static signature (HotSpec.for_wave guarantees this), so the
+        call swaps table DATA under the already-compiled machine.
 
         Benchmarks time this with ``jax.block_until_ready``: through
         the development TPU tunnel the device→host copy of the event
@@ -1610,7 +1855,8 @@ class BatchEngine:
             np.asarray(stops, dtype=bool)
         )
         if self.engine == "pallas":
-            return self._run_pallas(meta, lengths, entries, t_part, stops)
+            return self._run_pallas(meta, lengths, entries, t_part, stops,
+                                    spec=spec)
         if self.accelerated:
             if L < RING:  # ring window needs at least RING meta rows
                 meta = np.pad(meta, ((0, 0), (0, RING - L)))
@@ -1655,9 +1901,14 @@ class BatchEngine:
             )
         return ys, bad, steps, state
 
-    def _run_pallas(self, meta, lengths, entries, t_part, stops):
+    def _run_pallas(self, meta, lengths, entries, t_part, stops,
+                    spec=None):
         from .pallas_engine import _run_machine_pallas
 
+        if spec is None or spec is self.spec:
+            spec, pspec = self.spec, self.pallas_spec
+        else:
+            pspec = self._pallas_spec_for(spec)
         B, L = meta.shape
         BL = self.kernel_bl
         on_device = isinstance(meta, jax.Array)
@@ -1695,21 +1946,24 @@ class BatchEngine:
         )
         all_root = bool(np.all(entries == 1))
         cache = getattr(self, "_root_init_cache", None)
-        if all_root and cache is not None and cache[0] == B_pad:
+        # hid1 in the key: the all-root hid_init row is full(hid1);
+        # ε/lc-avail are tok-level, so the cache is valid across
+        # per-wave specs as long as state 1 keeps its slot
+        if all_root and cache is not None and cache[0] == (B_pad, spec.hid1):
             # all-root entry batches (the common path: every fresh
             # document) reuse device-resident init arrays — the
             # ~300 KB of per-call host→device init traffic costs
             # ~10 ms/call through the ~30 MB/s dev tunnel
             entries_d, hid_d, epst_d, lc_d = cache[1]
         else:
-            hid_init = self.spec.hot_index[
-                np.clip(t_part, 0, len(self.spec.hot_index) - 1)
+            hid_init = spec.hot_index[
+                np.clip(t_part, 0, len(spec.hot_index) - 1)
             ]
-            epst_init = self.spec.eps_avail[
-                np.clip(t_part, 0, len(self.spec.eps_avail) - 1)
+            epst_init = spec.eps_avail[
+                np.clip(t_part, 0, len(spec.eps_avail) - 1)
             ].astype(bool)
-            lc_init = self.spec.lc_avail[
-                np.clip(t_part, 0, len(self.spec.lc_avail) - 1)
+            lc_init = spec.lc_avail[
+                np.clip(t_part, 0, len(spec.lc_avail) - 1)
             ].astype(bool)
             entries_d = jnp.asarray(entries)
             hid_d = jnp.asarray(hid_init.astype(np.int32))
@@ -1717,12 +1971,12 @@ class BatchEngine:
             lc_d = jnp.asarray(lc_init)
             if all_root:
                 self._root_init_cache = (
-                    B_pad, (entries_d, hid_d, epst_d, lc_d)
+                    (B_pad, spec.hid1), (entries_d, hid_d, epst_d, lc_d)
                 )
         stop_flags = None if stops_a is None else jnp.asarray(stops_a)
         ys, bad, steps, state, stats = _run_machine_pallas(
             self.tables,
-            self.pallas_spec.tables,
+            pspec.tables,
             jnp.asarray(meta_T),
             lengths_d if lengths_d is not None else jnp.asarray(lengths),
             entries_d,
@@ -1734,7 +1988,7 @@ class BatchEngine:
             unknown=self.rep.unknown,
             identity=self.rep.identity,
             rep=self.rep,
-            spec=self.spec,
+            spec=spec,
             max_steps=self.max_steps_for(L),
             service_k=self.service_k,
             K=self.kernel_k,
@@ -1765,6 +2019,7 @@ class BatchEngine:
         lengths: np.ndarray,
         entries: Optional[np.ndarray] = None,
         stops: Optional[np.ndarray] = None,
+        spec: Optional[HotSpec] = None,
     ):
         """Run the device machine.
 
@@ -1774,7 +2029,9 @@ class BatchEngine:
         packed entry contexts; ``stops`` marks lanes that cut at
         segment end instead of running the EOF epilogue.
         """
-        ys, bad, steps, state = self.run_raw_device(meta, lengths, entries, stops)
+        ys, bad, steps, state = self.run_raw_device(
+            meta, lengths, entries, stops, spec=spec
+        )
         n_steps = int(steps)
         return (
             np.asarray(ys[:n_steps]),
@@ -1789,6 +2046,7 @@ class BatchEngine:
         lengths,
         entries: Optional[np.ndarray] = None,
         stops: Optional[np.ndarray] = None,
+        spec: Optional[HotSpec] = None,
     ):
         """Run the device machine and fetch *compacted* events.
 
@@ -1800,7 +2058,7 @@ class BatchEngine:
         production host want this, not the raw (steps, B) buffer.
         """
         ys, bad, steps, state = self.run_raw_device(
-            meta, lengths, entries, stops
+            meta, lengths, entries, stops, spec=spec
         )
         n_steps = int(steps)
         # static step bucket for the compaction jit
@@ -1835,8 +2093,17 @@ class BatchEngine:
         an interior EOT (see pipeline.transduce_doc_exact)."""
         if not texts:
             return ([], np.zeros(0, np.int32)) if return_exits else []
-        meta, lengths, _cps = self.encoder.encode_batch(texts)
-        ys, bad, n_steps, state = self.run_raw(meta, lengths, entries, stops)
+        base = getattr(self, "spec", None)  # general engine: no spec
+        wspec = self.wave_spec(texts) if self.per_wave else base
+        enc = (
+            self.encoder
+            if wspec is None or wspec is base
+            else self.encoder_for(wspec)
+        )
+        meta, lengths, _cps = enc.encode_batch(texts)
+        ys, bad, n_steps, state = self.run_raw(
+            meta, lengths, entries, stops, spec=wspec
+        )
         decoded = decode_events_batch(ys, n_steps, as_arrays=as_arrays)
         exits = state[:, 0].copy()
         out = []

@@ -264,7 +264,7 @@ def waves_pipelined(
     if pack_len:
         items = _pack_items(items, pack_len)
     st = stats if stats is not None else {}
-    for k in ("encode", "dispatch", "fetch", "decode"):
+    for k in ("encode", "dispatch", "fetch", "decode", "census"):
         st.setdefault(k, 0.0)
     for k in ("waves", "docs", "repairs", "long_docs"):
         st.setdefault(k, 0)
@@ -306,6 +306,21 @@ def waves_pipelined(
                 slot = free.get()  # backpressure: ring of reusable slots
                 if stop.is_set():
                     return
+                # per-wave hot spec: census a sample of this wave's
+                # documents (exact native walk, ~2 ms) and swap the
+                # fused kernel's hot tables to the wave's own working
+                # set — the encoder must match (the spec's symbol
+                # classes ride meta bits 24..30), so choose before
+                # encoding (jax_engine.wave_spec block comment)
+                wspec = None
+                enc_use = engine.encoder
+                if getattr(engine, "per_wave", False):
+                    t0 = _time.time()
+                    ws = engine.wave_spec(docs)
+                    if ws is not engine.spec:
+                        wspec = ws
+                        enc_use = engine.encoder_for(ws)
+                    st["census"] += _time.time() - t0
                 t0 = _time.time()
                 # Compile-shape bucketing: encode every wave at a
                 # power-of-two padded length and lane count so natural
@@ -361,7 +376,7 @@ def waves_pipelined(
                     enc_entries = full_entries
                 r = (
                     native_encode_wave(
-                        engine.encoder, enc_docs, pad_to=L_pad,
+                        enc_use, enc_docs, pad_to=L_pad,
                         scratch=slot,
                     )
                     if native_encode_wave is not None
@@ -369,7 +384,7 @@ def waves_pipelined(
                 )
                 if r is None:
                     slot.pop("cps_offs", None)  # not flat-laid-out
-                    r = engine.encoder.encode_batch(
+                    r = enc_use.encode_batch(
                         enc_docs, pad_to=L_pad
                     )
                 meta, lengths, cps = r
@@ -401,6 +416,7 @@ def waves_pipelined(
                 ys, bad, steps, state = engine.run_raw_device(
                     meta_d, lengths, entries=enc_entries,
                     stops=stops_w if stops_w.any() else None,
+                    spec=wspec,
                 )
                 # compact at the static step bound: reading the actual
                 # step count here would SYNC the prep thread on the

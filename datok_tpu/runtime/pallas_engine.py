@@ -312,7 +312,25 @@ def _pack_inj(e):
     )
 
 
-def _dedup_gather(table, idx, need, NU, lane_iota):
+_dev_cache: dict = {}
+
+
+def _dev_cached(arr):
+    """Device upload of a HOST-side table, memoized by array identity —
+    tok-level tables (svc_static, ε/lc availability) are shared across
+    per-wave HotSpecs, so each uploads once per process instead of
+    once per wave (svc_static alone is ~12.5 MB for the DE model)."""
+    key = id(arr)
+    v = _dev_cache.get(key)
+    if v is None or v[0] is not arr:
+        if len(_dev_cache) > 64:  # a handful of tokenizers at most
+            _dev_cache.clear()
+        v = (arr, jnp.asarray(arr))
+        _dev_cache[key] = v
+    return v[1]
+
+
+def _dedup_gather(table, idx, need, NU, lane_iota, hot_index=None):
     """Exact gather ``table[idx]`` for the ``need`` lanes, paying the
     serial-gather cost only for UNIQUE indices.
 
@@ -345,6 +363,17 @@ def _dedup_gather(table, idx, need, NU, lane_iota):
         (jnp.where(run0, rank, BIGI), k_s), num_keys=1
     )
     u_val = jnp.take(table, jnp.clip(u_idx[:NU], 0, table.shape[0] - 1))
+    if hot_index is not None:
+        # compose the per-spec hot id (hot_index[target]+1, bits
+        # 21..30) at the UNIQUE stage — a second NU-element dependent
+        # serial gather (~20 µs at NU=512) that keeps the big static
+        # service table shareable across per-wave hot specs.  Cold
+        # targets read hot_index −1 → field 0, matching the old packed
+        # layout bit for bit; u_val==0 rows index state 0 (−1) → 0.
+        hid1p = jnp.take(
+            hot_index, jnp.clip(u_val & 0x3FFFF, 0, hot_index.shape[0] - 1)
+        ) + 1
+        u_val = u_val | (hid1p << 21)
     val_s = _tree_select_shared(u_val, jnp.clip(rank, 0, NU - 1))
     got = (k_s < BIGI) & (rank < NU)
     v_s = jnp.where(got, val_s | jnp.int32(_INJ_MARK), 0)
@@ -826,11 +855,17 @@ def _run_machine_pallas(
             idx = jnp.clip((a - 1) * S_full + t0, 0, svc_packed.shape[0] - 1)
             if full_svc:
                 e = jnp.where(a > 0, jnp.take(svc_packed, idx), 0)
+                # compose the per-spec hot id (full-gather A/B path)
+                e = e | ((jnp.take(
+                    hot_index,
+                    jnp.clip(e & 0x3FFFF, 0, hot_index.shape[0] - 1),
+                ) + 1) << 21)
                 can = jnp.ones_like(e, bool)
             else:
                 live = (carry["phase"] == 0) | (carry["pend"] != 0)
                 need = live & (t0_hid < 0) & (a > 0)
-                v = _dedup_gather(svc_packed, idx, need, NU, lane_iota)
+                v = _dedup_gather(svc_packed, idx, need, NU, lane_iota,
+                                  hot_index=hot_index)
                 can = v < 0  # bit 31: fetch happened for this lane
                 e = v & jnp.int32(0x7FFFFFFF)
             valid = e != 0
@@ -983,7 +1018,8 @@ def _run_machine_pallas(
                 0, svc_packed.shape[0] - 1,
             )
             v = _dedup_gather(
-                svc_packed, inj_idx, need, NU, lane_iota
+                svc_packed, inj_idx, need, NU, lane_iota,
+                hot_index=hot_index,
             )
             e = v & jnp.int32(0x7FFFFFFF)
             # Slot 0: the answered stall request, fingerprinted by the
@@ -1050,7 +1086,8 @@ def _run_machine_pallas(
                     0, svc_packed.shape[0] - 1,
                 )
                 v_q = _dedup_gather(
-                    svc_packed, idx_q, ok_ch, NU, lane_iota
+                    svc_packed, idx_q, ok_ch, NU, lane_iota,
+                    hot_index=hot_index,
                 )
                 e_q = v_q & jnp.int32(0x7FFFFFFF)
                 got = v_q < 0
@@ -1221,12 +1258,15 @@ class PallasSpec:
             # column-for-column through cls_tab; see HotSpec)
             jnp.asarray(spec.planes_cls_kT),   # (2H, C_pad|A_pad) int8
             jnp.asarray(spec.hot_index),
-            jnp.asarray(spec.eps_avail),
-            jnp.asarray(spec.lc_avail),
+            _dev_cached(spec.eps_avail),        # tok-level: shared
+            _dev_cached(spec.lc_avail),         # across per-wave specs
             jnp.asarray(dec2),                  # (LO, HI*12) decode planes
         ) + (
-            (jnp.asarray(spec.svc_packed),) if spec.svc_ok else ()
-        )                                       # packed service table
+            # static service table (no hot ids — composed on device
+            # from hot_index, see _dedup_gather): shared across
+            # per-wave specs, uploaded once per tokenizer
+            (_dev_cached(spec.svc_static),) if spec.svc_ok else ()
+        )
         # raw id tables for decode_tagged (debug/inspection only — the
         # machine decodes via the matmul planes)
         self.debug_id_tables = (

@@ -99,6 +99,11 @@ def get_lib():
             u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, i32p, ctypes.c_int64, i8p, i64p,
         ]
+        lib.dt_state_census.restype = ctypes.c_int64
+        lib.dt_state_census.argtypes = [
+            u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, i32p, ctypes.c_int64, i32p,
+        ]
         lib.dt_cut_walk.restype = ctypes.c_int64
         lib.dt_cut_walk.argtypes = [
             u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -467,6 +472,35 @@ def native_cold_rate(tok, metas: np.ndarray, hot_mask: np.ndarray):
         fetches.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return int(cold), int(fetches[0])
+
+
+def native_state_census(tok, metas: np.ndarray):
+    """Histogram of transition-fetch SOURCE states of the exact walk
+    over ``metas`` (the per-wave hot-set selection statistic), or
+    ``None`` when the native library is unavailable.
+
+    Returns ``(counts, fetches)`` — counts int32 (state_count + 1,).
+    A wave's own fetch working set is tiny (measured 458 states at
+    99.95% coverage on novel prose, bench_micro/probe_novel.py), so
+    the top-H census states make a near-perfectly covering per-wave
+    hot set where a corpus-profiled one runs percent-level cold.
+    """
+    lib = get_lib()
+    if lib is None or tok.type() != "MATOK":
+        return None
+    table = getattr(tok, "_native_table", None)
+    if table is None:
+        table = np.ascontiguousarray(tok.array, dtype=np.uint32)
+        tok._native_table = table
+    metas = np.ascontiguousarray(metas, dtype=np.int32)
+    counts = np.zeros(tok.state_count + 1, dtype=np.int32)
+    fetches = lib.dt_state_census(
+        _ptr(table, ctypes.c_uint32), tok.state_count,
+        tok.epsilon, tok.unknown, tok.identity,
+        _ptr(metas, ctypes.c_int32), len(metas),
+        _ptr(counts, ctypes.c_int32),
+    )
+    return counts, int(fetches)
 
 
 def native_cut_walk(
