@@ -27,12 +27,20 @@ Prints ONE JSON line with the headline metric plus secondary numbers:
                  reports each stage's standalone rate — on production
                  PCIe the pipeline runs at min(encode, device,
                  decode+format) of those.
-  host_scaling — per-stage host MB/s at 1/2/4/8 workers (native
-                 threaded encode / event decode / wave format; this
-                 box has 2 cores, so W>2 extrapolates the measured
-                 per-worker rate) and the resulting
-                 e2e_projected_mbps = min(encode·W, device,
-                 (decode+format combined)·W) at the stated W
+  host_scaling — per-stage host MB/s at worker counts MEASURED on
+                 this box ([median, min, max] cells over N reps, plus
+                 a forked-process A/B at the widest W);
+                 e2e_measured_w{W} at each measured point, and
+                 e2e_projected_mbps extrapolated only from the widest
+                 measured per-worker rate (flagged when extrapolated)
+  device_time_mbps — bytes over the profiler's device-timeline time
+                 (kernel rounds + XLA glue, excluding the dev
+                 tunnel's per-call dispatch that PCIe hosts don't
+                 pay) — the production-host projection, emitted every
+                 round
+  hetero_mbps / mixed_mbps — production path: census-built per-wave
+                 hot spec (jax_engine.wave_spec); *_base_mbps rows
+                 keep the engine-profile-spec A/B
 
 Flags (env/argv):
   --profile      capture a jax.profiler trace of one uniform run,
@@ -81,11 +89,11 @@ BENCH_TEXT_EN = (
 )
 
 
-def _timed_device(eng, meta_d, lengths_d, reps):
+def _timed_device(eng, meta_d, lengths_d, reps, spec=None):
     times = []
     for _ in range(reps):
         t0 = time.time()
-        out = eng.run_raw_device(meta_d, lengths_d)
+        out = eng.run_raw_device(meta_d, lengths_d, spec=spec)
         # sync via a host fetch of the bad-lane count: through the dev
         # tunnel, block_until_ready can return before the while-loop
         # computation finishes (observed: sub-ms "completions" of
@@ -98,13 +106,13 @@ def _timed_device(eng, meta_d, lengths_d, reps):
     return float(np.median(times))
 
 
-def _stage_device(eng, texts):
+def _stage_device(eng, texts, encoder=None):
     """Pre-stage encoded inputs on device; return (meta_d, lengths_d,
-    n_bytes)."""
+    n_bytes).  ``encoder``: per-wave spec's encoder when set."""
     import jax
     import jax.numpy as jnp
 
-    meta, lengths, _ = eng.encoder.encode_batch(texts)
+    meta, lengths, _ = (encoder or eng.encoder).encode_batch(texts)
     meta_d = jax.block_until_ready(jnp.asarray(meta))
     lengths_d = jax.block_until_ready(jnp.asarray(lengths))
     nbytes = sum(len(t.encode()) for t in texts)
@@ -140,15 +148,28 @@ def _bench_uniform(eng, tok, doc, B, reps):
 
 
 def _host_scaling(eng, doc, n_docs, device_mbps):
-    """Per-stage host rates at 1/2/4/8 workers + projected e2e.
+    """Per-stage host rates at MEASURED worker counts only, with
+    stated spread, plus a process-isolation A/B.
 
     encode: dt_encode_batch (row-threaded C); decode:
     dt_decode_events (lane-threaded C); format:
     dt_writer_feed_wave_mt (chunk-threaded C at clean writer
-    boundaries).  W beyond this box's cores extrapolates the measured
-    per-worker rate (the judge-prescribed projection: stages are
-    embarrassingly parallel per document and the C calls release the
-    GIL).
+    boundaries).  Every cell is a median of N timed runs after a
+    warm-up, reported as [median, min, max] MB/s — round 4's single-
+    shot cells showed 5× non-monotonic swings (decode W=2 = 292 vs
+    W=1 = 950) that were pure scheduler noise on this 2-core box.
+    W is capped at the CPU count: nothing here extrapolates.  The
+    ``*_procs`` rows re-measure the widest W with forked PROCESSES
+    (one chunk each, zero-copy fork inheritance) — evidence that the
+    thread-mode numbers are not GIL artifacts (the C stages release
+    the GIL; processes sidestep it entirely).
+
+    ``e2e_measured_w{W}`` = min(encode[W], device, decode+format[W])
+    at each MEASURED W.  ``e2e_projected_mbps`` extrapolates ONLY
+    from the widest measured W's per-worker rate (which already
+    embeds measured scaling efficiency) and is flagged
+    ``projection_extrapolated`` when the chosen W exceeds what this
+    box can measure.
     """
     from datok_tpu.utils.native import (NativeWriter, native_decode_events,
                                         native_encode_wave)
@@ -158,7 +179,7 @@ def _host_scaling(eng, doc, n_docs, device_mbps):
     docs = [doc] * n_docs
     nbytes = sum(len(d.encode()) for d in docs)
     cores = os.cpu_count() or 1
-    ws = [1, 2, 4, 8]
+    ws = [w for w in (1, 2, 4, 8, 16) if w <= cores]
 
     # one device wave supplies realistic decode/format inputs
     ev, counts, bad, _state = eng.run_events_compact(
@@ -171,27 +192,32 @@ def _host_scaling(eng, doc, n_docs, device_mbps):
     cps_offs = scratch["cps_offs"]
     cps_lens = scratch["cps_lens"]
 
-    def rate(fn, reps=3):
-        best = None
-        for _ in range(reps):
+    N = int(os.environ.get("BENCH_HOST_REPS", "9"))
+
+    def rate(fn):
+        fn()  # warm-up: thread-pool spin-up, page faults
+        ts = []
+        for _ in range(N):
             t0 = time.time()
             fn()
-            el = time.time() - t0
-            best = el if best is None else min(best, el)
-        return nbytes / best / 1e6
+            ts.append(time.time() - t0)
+        ts.sort()
+        med = ts[len(ts) // 2]
+        return [round(nbytes / t / 1e6, 1) for t in (med, ts[-1], ts[0])]
 
-    out = {"cores": cores, "workers": ws, "encode": {}, "decode": {},
-           "format": {}}
+    out = {"cores": cores, "workers": ws, "reps": N,
+           "cell": "[median, min, max] MB/s over reps",
+           "encode": {}, "decode": {}, "format": {}}
     tri = native_decode_events(ev, counts, workers=cores)
     wtr = NativeWriter(dt.SIMPLE)
     for w in ws:
-        out["encode"][str(w)] = round(
-            rate(lambda: native_encode_wave(
+        out["encode"][str(w)] = rate(
+            lambda: native_encode_wave(
                 eng.encoder, docs, threads=w, scratch=scratch
-            )), 1,
+            )
         )
-        out["decode"][str(w)] = round(
-            rate(lambda: native_decode_events(ev, counts, workers=w)), 1
+        out["decode"][str(w)] = rate(
+            lambda: native_decode_events(ev, counts, workers=w)
         )
 
         def fmt():
@@ -202,35 +228,76 @@ def _host_scaling(eng, doc, n_docs, device_mbps):
             wtr.feed_wave(tri, counts, cps_flat, cps_offs, cps_lens,
                           workers=w)
 
-        out["format"][str(w)] = round(rate(fmt), 1)
+        out["format"][str(w)] = rate(fmt)
 
-    # projection: per-worker rates from W=1 (measured), linear in W
-    # (stages are per-document parallel; C threads, no GIL) — the
-    # judge-prescribed e2e_projected = min(enc·W, device, df·W)
-    enc1 = out["encode"]["1"]
-    dec1 = out["decode"]["1"]
-    fmt1 = out["format"]["1"]
-    df1 = 1.0 / (1.0 / dec1 + 1.0 / fmt1)
-    chosen_w = None
-    proj = 0.0
+    # ---- process-isolation A/B at the widest measured W ------------
+    wmax = ws[-1]
+
+    def in_procs(target):
+        """Wall-time `target(chunk_index, n_chunks)` across wmax forked
+        processes (zero-copy COW inheritance; children never touch
+        jax)."""
+        t0 = time.time()
+        pids = []
+        for i in range(wmax):
+            pid = os.fork()
+            if pid == 0:
+                try:
+                    target(i, wmax)
+                finally:
+                    os._exit(0)
+            pids.append(pid)
+        for pid in pids:
+            os.waitpid(pid, 0)
+        return time.time() - t0
+
+    def rate_procs(target):
+        in_procs(target)  # warm-up
+        ts = sorted(in_procs(target) for _ in range(max(3, N // 2)))
+        med = ts[len(ts) // 2]
+        return [round(nbytes / t / 1e6, 1)
+                for t in (med, ts[-1], ts[0])]
+
+    def enc_chunk(i, n):
+        sl = docs[i * len(docs) // n:(i + 1) * len(docs) // n]
+        native_encode_wave(eng.encoder, sl, threads=1)
+
+    def dec_chunk(i, n):
+        B = len(counts)
+        sl = slice(i * B // n, (i + 1) * B // n)
+        native_decode_events(ev[sl], counts[sl], workers=1)
+
+    try:
+        out["encode_procs"] = {str(wmax): rate_procs(enc_chunk)}
+        out["decode_procs"] = {str(wmax): rate_procs(dec_chunk)}
+    except OSError as e:  # fork unavailable in some sandboxes
+        out["procs_error"] = str(e)[:120]
+
+    # ---- e2e at measured points only -------------------------------
+    for w in ws:
+        enc = out["encode"][str(w)][0]
+        df = 1.0 / (1.0 / out["decode"][str(w)][0]
+                    + 1.0 / out["format"][str(w)][0])
+        out[f"e2e_measured_w{w}"] = round(min(enc, device_mbps, df), 1)
+
+    # extrapolation from the widest MEASURED per-worker rates (embeds
+    # the measured W=1→wmax scaling efficiency), clearly flagged
+    encw = out["encode"][str(wmax)][0] / wmax
+    dfw = 1.0 / (1.0 / out["decode"][str(wmax)][0]
+                 + 1.0 / out["format"][str(wmax)][0]) / wmax
+    chosen_w, proj = wmax, out[f"e2e_measured_w{wmax}"]
     for w in (1, 2, 4, 8, 16, 32):
-        p = min(enc1 * w, device_mbps, df1 * w)
-        if p >= 0.8 * device_mbps:
-            chosen_w, proj = w, p
-            break
+        p = min(encw * w, device_mbps, dfw * w)
         chosen_w, proj = w, p
-    out["per_worker_mbps"] = {
-        "encode": round(enc1, 1),
-        "decode": round(dec1, 1),
-        "format": round(fmt1, 1),
-        "decode_plus_format": round(df1, 1),
-    }
+        if p >= 0.8 * device_mbps:
+            break
     out["projected_w"] = chosen_w
     out["e2e_projected_mbps"] = round(proj, 1)
+    out["projection_extrapolated"] = chosen_w > wmax
     out["note"] = (
-        f"W<= {cores} measured on this {cores}-core host; larger W "
-        "extrapolates the per-worker rate (per-document parallel "
-        "C stages, GIL released)"
+        f"cells measured at W<={wmax} on this {cores}-core host; "
+        "e2e_projected extrapolates linearly from the W="
+        f"{wmax} per-worker rate and is marked extrapolated"
     )
     return out
 
@@ -350,19 +417,34 @@ def main():
         "vs_baseline": round(uniform_mbps / BASELINE_MBPS, 2),
     }
 
+    # device-timeline rate (kernel rounds + XLA glue, excluding the
+    # dev tunnel's per-call dispatch/sync that PCIe hosts don't pay):
+    # machine-checked every round next to the wall number
+    prof = _profile(
+        eng, meta_d, lengths_d, B, n_steps, B * len(doc.encode()),
+    )
+    result["device_time_mbps"] = prof["device_mbps"]
     if do_profile:
-        result["profile"] = _profile(
-            eng, meta_d, lengths_d, B, n_steps,
-            B * len(doc.encode()),
-        )
+        result["profile"] = prof
 
     # ---- heterogeneous: same text rotated per lane -----------------
+    # headline rows run the production path (census-built per-wave
+    # hot spec); *_base rows keep the engine-spec A/B
     het = [
         (doc[(i * 131) % (L - 2):-2] + doc[: (i * 131) % (L - 2)]) + ".\x04"
         for i in range(B)
     ]
     meta_hd, lengths_hd, nbytes_h = _stage_device(eng, het)
     dt_h = _timed_device(eng, meta_hd, lengths_hd, max(3, reps - 2))
+    result["hetero_base_mbps"] = round(nbytes_h / dt_h / 1e6, 2)
+    del meta_hd, lengths_hd
+    wsp_h = eng.wave_spec(het)
+    t0 = time.time()
+    meta_hd, lengths_hd, nbytes_h = _stage_device(
+        eng, het, encoder=eng.encoder_for(wsp_h)
+    )
+    dt_h = _timed_device(eng, meta_hd, lengths_hd, max(3, reps - 2),
+                         spec=wsp_h)
     result["hetero_mbps"] = round(nbytes_h / dt_h / 1e6, 2)
     del meta_hd, lengths_hd
 
@@ -379,6 +461,14 @@ def main():
             meta_md, lengths_md, nbytes_m = _stage_device(eng, mixed)
             dt_m = _timed_device(eng, meta_md, lengths_md,
                                  max(3, reps - 2))
+            result["mixed_base_mbps"] = round(nbytes_m / dt_m / 1e6, 2)
+            del meta_md, lengths_md
+            wsp_m = eng.wave_spec(mixed)
+            meta_md, lengths_md, nbytes_m = _stage_device(
+                eng, mixed, encoder=eng.encoder_for(wsp_m)
+            )
+            dt_m = _timed_device(eng, meta_md, lengths_md,
+                                 max(3, reps - 2), spec=wsp_m)
             result["mixed_mbps"] = round(nbytes_m / dt_m / 1e6, 2)
             del meta_md, lengths_md
         except Exception as e:  # mixed probe is auxiliary

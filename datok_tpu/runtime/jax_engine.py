@@ -1604,8 +1604,9 @@ class BatchEngine:
         kernel_wgrp: int = 0,
         kernel_svc_ns: int = -1,
         kernel_injq: int = 0,
+        kernel_inj_budget: float = 1.5,
         pallas_interpret: bool = False,
-        per_wave: bool = False,
+        per_wave: bool = True,
     ):
         if accelerated is False:
             engine = "general"
@@ -1657,6 +1658,7 @@ class BatchEngine:
         self.kernel_wgrp = kernel_wgrp
         self.kernel_svc_ns = kernel_svc_ns
         self.kernel_injq = kernel_injq  # 0 = pallas_engine default
+        self.kernel_inj_budget = kernel_inj_budget
         self.pallas_interpret = pallas_interpret
         self.accelerated = engine in ("hot", "pallas")
         if self.accelerated:
@@ -1769,21 +1771,61 @@ class BatchEngine:
         counts, _fetches = r
         return counts
 
+    # hot-set size ladder for per-wave specs: the census tells us the
+    # wave's working-set size, so each wave runs at the SMALLEST rung
+    # that covers ≥99.9% of its fetches — the one-hot build (2H VPU
+    # ops) is the largest speed-of-light term, and one static H cannot
+    # serve every workload (measured r5, v5e DE per-wave: uniform
+    # 369/351/342 at H=384/512/640; mixed needs 640 — 208 vs 132 at
+    # 512 where its ~600-state working set overflows).  One compiled
+    # machine per rung, shared across waves at that rung.
+    WAVE_H_LADDER = (384, 512)
+
+    def _rung_base(self, H: int) -> "HotSpec":
+        """Engine-profile spec reshaped to ladder rung ``H`` — the sig
+        anchor and fill pool for that rung's wave specs."""
+        if H >= self.spec.H:
+            return self.spec
+        cache = getattr(self, "_rung_cache", None)
+        if cache is None:
+            cache = self._rung_cache = {}
+        b = cache.get(H)
+        if b is None:
+            b = HotSpec(
+                self.tok, self.spec.hot_full[1:H],
+                cold_p2=len(self.spec.cold_full_p2),
+            )
+            cache[H] = b
+        return b
+
     def wave_spec(self, texts, sample_chars: int = 262144):
         """Per-wave hot spec for ``texts`` (see block comment above);
         returns ``self.spec`` unchanged when the engine is not the
         fused kernel, the native census is unavailable, or the wave
-        spec cannot share the compiled machine."""
+        spec cannot share a compiled machine."""
         if self.engine != "pallas" or not self.spec.svc_ok:
             return getattr(self, "spec", None)
         counts = self.census_states(texts, sample_chars)
         if counts is None:
             return self.spec
         states = np.flatnonzero(counts)
-        if len(states) > self.spec.H - 1:
-            states = states[np.argsort(-counts[states])][: self.spec.H - 1]
+        order = np.argsort(-counts[states], kind="stable")
+        cum = np.cumsum(counts[states][order])
+        n999 = (
+            int(np.searchsorted(cum, 0.999 * cum[-1]) + 1)
+            if len(cum)
+            else 1
+        )
+        H = self.spec.H
+        for rung in self.WAVE_H_LADDER:
+            if rung < H and n999 <= rung - 1:
+                H = rung
+                break
+        base = self._rung_base(H)
+        if len(states) > H - 1:
+            states = states[order][: H - 1]
         states = np.sort(states)
-        key = states.tobytes()
+        key = (H, states.tobytes())
         cache = getattr(self, "_wave_spec_cache", None)
         if cache is None:
             cache = self._wave_spec_cache = {}
@@ -1791,7 +1833,7 @@ class BatchEngine:
         if spec is None:
             if len(cache) > 16:
                 cache.clear()
-            spec = HotSpec.for_wave(self.spec, self.tok, states)
+            spec = HotSpec.for_wave(base, self.tok, states)
             cache[key] = spec
         return spec
 
@@ -2005,6 +2047,7 @@ class BatchEngine:
             **(
                 {"injq": self.kernel_injq} if self.kernel_injq else {}
             ),
+            inj_budget=self.kernel_inj_budget,
         )
         if B_pad != B:
             ys = ys[:, :B]

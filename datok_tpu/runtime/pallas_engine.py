@@ -731,7 +731,7 @@ def _general_fetches_T(rep, tables, meta_T):
     static_argnames=(
         "eps", "unknown", "identity", "rep", "spec", "max_steps",
         "service_k", "K", "BL", "early_exit", "interpret", "pring", "ch",
-        "pool", "wgrp", "svc_ns", "injq",
+        "pool", "wgrp", "svc_ns", "injq", "inj_budget",
     ),
 )
 def _run_machine_pallas(
@@ -762,6 +762,7 @@ def _run_machine_pallas(
     wgrp=0,
     svc_ns=-1,
     injq=INJQ,
+    inj_budget=1.5,
 ):
     """Fused-kernel machine: K-step Pallas rounds + XLA service steps."""
     L, B = meta_T.shape
@@ -784,11 +785,22 @@ def _run_machine_pallas(
     if has_svc and svc_ns != 0 and rep.S < (1 << 15):
         # injection mode (set just below): a cold-stalled lane idles
         # the rest of its round awaiting the next injection, so the
-        # GLOBAL step counter runs ahead of per-lane progress —
-        # heterogeneous batches measure ~3 steps per char-of-L vs 1.5
-        # uniform.  Give the budget that headroom (ys grows with it:
-        # rows × B × 4 bytes).
-        max_steps_pad = max_steps * 2 + K + 8
+        # GLOBAL step counter runs ahead of per-lane progress.  The
+        # event buffer is (max_steps_pad, B) int32 — the dominant HBM
+        # allocation — so the budget factor is a memory knob:
+        # `inj_budget` × max_steps (+K+8).  The 2.0 era assumed ~3
+        # global steps per char-of-L on heterogeneous batches; with
+        # census-built per-wave hot specs the worst measured inflation
+        # is 1.83 steps/char (novel-prose probe; mixed 1.39, rotated
+        # 1.42 — BENCH_LOG r5), so the default is 1.5 ×
+        # (steps_factor=2.0 × L) ≈ 3L: 566 → 428 MB at the bench
+        # shape.  Over-budget lanes stay EXACT via the bad-lane host
+        # repair.  (A per-round event RING was analyzed and rejected:
+        # rows wrap onto the same lane's own earlier not-yet-fetched
+        # events whenever global steps exceed the ring — per-lane
+        # compaction needs an axis-0 scatter the hardware doesn't
+        # have; see BENCH_LOG r5.)
+        max_steps_pad = int(inj_budget * max_steps) + K + 8
 
     # cold-entry injection mode: available whenever the packed service
     # table exists, unless explicitly disabled (svc_ns=0 keeps the

@@ -70,9 +70,12 @@ def test_wave_spec_shares_machine_signature(eng, mat_de):
     wspec = eng.wave_spec(TEXTS)
     if wspec is eng.spec:
         pytest.skip("native census unavailable (wave spec fell back)")
-    assert wspec.sig == eng.spec.sig
-    assert hash(wspec) == hash(eng.spec) and wspec == eng.spec
-    assert wspec.H == eng.spec.H
+    # the wave routes to a ladder rung; its spec must share that
+    # rung's static signature (one compiled machine per rung)
+    base = eng._rung_base(wspec.H)
+    assert wspec.sig == base.sig
+    assert hash(wspec) == hash(base) and wspec == base
+    assert wspec.H in eng.WAVE_H_LADDER + (eng.spec.H,)
     assert wspec.hid1 == 0 and eng.spec.hid1 == 0
     assert len(wspec.cold_full_p2) == len(eng.spec.cold_full_p2)
     # pinned class ids: ε→0, unknown→1 (or 0 when classes collide)
