@@ -63,6 +63,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent XLA compile cache: fresh-process compiles of the big
+# machines drop 554 s -> 18-60 s through the dev tunnel (BENCH_LOG r5)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "jax_comp_cache"),
+)
+
 BASELINE_MBPS = 32.0
 
 # The reference's benchmark text (matrix_test.go:13-21).

@@ -23,6 +23,13 @@ from bench import BENCH_TEXT  # noqa: E402
 from probe_hetero_mixed import hetero_texts  # noqa: E402
 from probe_novel import novel_texts  # noqa: E402
 
+# persistent XLA compile cache: fresh-process compiles of the big
+# machines drop 554 s -> 18-60 s through the dev tunnel (BENCH_LOG r5)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "jax_comp_cache"),
+)
+
 B = int(os.environ.get("BENCH_LANES", "32768"))
 L = int(os.environ.get("BENCH_LEN", "1024"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
@@ -43,6 +50,24 @@ def make_texts():
     if WORKLOAD == "mixed":
         t = hetero_texts(B, L)
         return sorted(t, key=len) if os.environ.get("SORTLEN", "1") else t
+    if WORKLOAD == "mixed_packed":
+        # greedy-pack whole \x04-terminated docs into ≤L−2-char lanes:
+        # stream-exact per lane, fills the lane bytes the plain mixed
+        # batch wastes.  Round 4 measured packing NET NEGATIVE (cold
+        # stalls amplified with lane length); per-wave specs remove
+        # that amplification — this workload re-tests the call.
+        docs = hetero_texts(B, L)
+        lanes, cur = [], ""
+        for d in docs:
+            if len(cur) + len(d) <= L - 2:
+                cur += d
+            else:
+                if cur:
+                    lanes.append(cur)
+                cur = d[: L - 2]
+        if cur:
+            lanes.append(cur)
+        return sorted(lanes, key=len)
     if WORKLOAD == "novel":
         return novel_texts(B, L)
     raise SystemExit(f"unknown WORKLOAD {WORKLOAD}")

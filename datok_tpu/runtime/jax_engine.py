@@ -2038,7 +2038,8 @@ class BatchEngine:
             early_exit=self.kernel_early_exit,
             interpret=self.pallas_interpret,
             **(
-                {"pring": self.kernel_pring} if self.kernel_pring else {}
+                {"pring": self._pring_effective()}
+                if self._pring_effective() else {}
             ),
             ch=self.kernel_ch,
             pool=self.kernel_pool,
@@ -2054,7 +2055,50 @@ class BatchEngine:
             bad = bad[:B]
             state = state[:B]
         self.last_stats = stats  # (rounds, services, since) — observability
+        # feedback is LAZY: stats/steps are device scalars here, and a
+        # host read would sync the (possibly pipelined) caller on this
+        # run; the pending pair is evaluated at the next call's entry,
+        # when the run has long completed
+        self._pring_pending = (stats, steps)
         return ys, bad, steps, state
+
+    def _pring_effective(self):
+        """Ring-window rows for the next fused run: the explicit knob
+        when set, else the feedback choice (see _pring_feedback)."""
+        if self.kernel_pring:
+            return self.kernel_pring
+        pend = getattr(self, "_pring_pending", None)
+        if pend is not None:
+            self._pring_pending = None
+            self._pring_feedback(*pend)
+        return getattr(self, "_pring_auto", 0)
+
+    def _pring_feedback(self, stats, steps):
+        """Content-desync feedback: rounds that exit early without
+        cold stalls mean lanes outran the meta ring window, so the
+        NEXT run gets the wide ring.  Round efficiency = steps /
+        (rounds × K); measured r5 (v5e DE, per-wave specs): uniform
+        0.86, novel 0.89, mixed 0.62 — healthy at pring=128 — vs
+        rotated-phase lanes 0.52, which the wide window fixes
+        (pring 128 → 256: 290.5 → 316.9 MB/s; steps 1456 → 1204).
+        Hysteresis: widen below 0.55, narrow back above 0.75 (a
+        rotated-style batch holds ~0.50 wide, never flapping).  Each
+        flip is one compiled-machine switch, persistent-cached."""
+        if self.kernel_pring or stats is None:
+            return
+        try:
+            rounds = int(np.asarray(stats)[0])
+            n = int(steps)
+        except Exception:
+            return
+        if rounds <= 2:
+            return
+        eff = n / max(rounds * self.kernel_k, 1)
+        cur = getattr(self, "_pring_auto", 0)
+        if not cur and eff < 0.55:
+            self._pring_auto = 256
+        elif cur and eff > 0.75:
+            self._pring_auto = 0
 
     def run_raw(
         self,
