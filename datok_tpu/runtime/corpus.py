@@ -67,7 +67,7 @@ class CorpusRunner:
         return os.path.join(self.out_dir, base + ".tok")
 
     def run(self, files: Sequence[str], verbose: bool = False,
-            stats: dict | None = None, pack_len: int = 1024) -> dict:
+            stats: dict | None = None, pack_len="auto") -> dict:
         """Process files, skipping ones already completed.  Returns stats.
 
         All pending files flow through ONE overlapped device pipeline
@@ -112,6 +112,29 @@ class CorpusRunner:
                 for j, d in enumerate(split_stream(self.engine.tok, text)):
                     yield (fi, d, j == 0)
 
+        if pack_len == "auto":
+            # Lane packing only rescues TINY-document corpora (lanes
+            # otherwise waste the per-wave fixed cost on a few bytes
+            # each); on realistic mixed corpora it measured ~2× SLOWER
+            # than sorted unpacked lanes (112 vs 216 MB/s, BENCH_LOG
+            # r5) and its 3-4 global steps per char-of-L brush the
+            # step budget (window-stall round exits amplify on full
+            # lanes).  Decide from the first documents' median length.
+            it = items()
+            head = []
+            for item in it:
+                head.append(item)
+                if len(head) >= 512:
+                    break
+            lens = sorted(len(d) for _, d, _ in head)
+            med = lens[len(lens) // 2] if lens else 0
+            pack_len = 1024 if med < 256 else 0
+            import itertools
+
+            items_it = itertools.chain(head, it)
+        else:
+            items_it = items()
+
         state = {"fi": -1, "w": None, "done": 0, "out": 0}
 
         def finish():
@@ -137,7 +160,7 @@ class CorpusRunner:
             state["done"] += 1
             state["out"] += len(out)
 
-        for wave in waves_pipelined(self.engine, items(), stats=stats,
+        for wave in waves_pipelined(self.engine, items_it, stats=stats,
                                     pack_len=pack_len):
             offs = np.zeros(len(wave.counts) + 1, dtype=np.int64)
             np.cumsum(wave.counts, out=offs[1:])

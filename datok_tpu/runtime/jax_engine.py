@@ -1604,7 +1604,7 @@ class BatchEngine:
         kernel_wgrp: int = 0,
         kernel_svc_ns: int = -1,
         kernel_injq: int = 0,
-        kernel_inj_budget: float = 1.5,
+        kernel_inj_budget: float = 2.0,
         pallas_interpret: bool = False,
         per_wave: bool = True,
     ):

@@ -762,7 +762,7 @@ def _run_machine_pallas(
     wgrp=0,
     svc_ns=-1,
     injq=INJQ,
-    inj_budget=1.5,
+    inj_budget=2.0,
 ):
     """Fused-kernel machine: K-step Pallas rounds + XLA service steps."""
     L, B = meta_T.shape
@@ -788,15 +788,18 @@ def _run_machine_pallas(
         # GLOBAL step counter runs ahead of per-lane progress.  The
         # event buffer is (max_steps_pad, B) int32 — the dominant HBM
         # allocation — so the budget factor is a memory knob:
-        # `inj_budget` × max_steps (+K+8).  The 2.0 era assumed ~3
-        # global steps per char-of-L on heterogeneous batches; with
-        # census-built per-wave hot specs the worst measured inflation
-        # is 1.83 steps/char (novel-prose probe; mixed 1.39, rotated
-        # 1.42 — BENCH_LOG r5), so the default is 1.5 ×
-        # (steps_factor=2.0 × L) ≈ 3L: 566 → 428 MB at the bench
-        # shape.  Over-budget lanes stay EXACT via the bad-lane host
-        # repair.  (A per-round event RING was analyzed and rejected:
-        # rows wrap onto the same lane's own earlier not-yet-fetched
+        # `inj_budget` × max_steps (+K+8).  Keep the 2.0 default: a
+        # 1.5 cut was tried (per-wave specs bound PER-LANE inflation
+        # at 1.83 steps/char) but the budget counts GLOBAL steps, and
+        # a real mixed+novel corpus wave measured 3.02 steps per
+        # char-of-L (window-stall round exits — faster per-wave lanes
+        # diverge MORE within their blocks), which killed thousands
+        # of still-live lanes at the 3L budget (BENCH_LOG r5).  At
+        # the pipeline's B=8192 the 2.0 buffer is ~141 MB; memory-
+        # constrained callers with uniform-ish workloads can lower
+        # the knob — over-budget lanes stay EXACT via host repair.
+        # (A per-round event RING was analyzed and rejected: rows
+        # wrap onto the same lane's own earlier not-yet-fetched
         # events whenever global steps exceed the ring — per-lane
         # compaction needs an axis-0 scatter the hardware doesn't
         # have; see BENCH_LOG r5.)
