@@ -3,10 +3,12 @@
 
 Prints ONE JSON line with the headline metric plus secondary numbers:
 
-  value        — uniform-batch device throughput (MB/s/chip): every
-                 lane carries the reference's 1022-char mixed-German
-                 bench text; conformance-guarded (device output must
-                 equal the oracle's)
+  value        — uniform-batch device throughput (MB/s/chip) on the
+                 PRODUCTION path (census-built per-wave hot spec, H
+                 ladder): every lane carries the reference's 1022-char
+                 mixed-German bench text; conformance-guarded (device
+                 output must equal the oracle's).  uniform_base_mbps
+                 keeps the engine-profile-spec A/B
   hetero_mbps  — heterogeneous worst case: the SAME text rotated by a
                  per-lane offset, so lane speeds diverge and cold
                  transitions de-synchronize (the adversarial case for
@@ -414,14 +416,26 @@ def main():
     # (the dev tunnel's host↔device link is ~30 MB/s and not part of
     # the chip's work; production hosts stream input/results over
     # PCIe, overlapped with compute) ---------------------------------
-    uniform_mbps, (meta_d, lengths_d) = _bench_uniform(
+    uniform_base, (meta_d, lengths_d) = _bench_uniform(
         eng, tok, doc, B, reps
     )
+    # headline = the production path: census-built per-wave hot spec
+    # (H ladder routes the uniform text to the narrow rung)
+    texts_u = [doc] * B
+    wsp_u = eng.wave_spec(texts_u)
+    meta_w, lengths_w, nbytes_u = _stage_device(
+        eng, texts_u, encoder=eng.encoder_for(wsp_u)
+    )
+    dt_u = _timed_device(eng, meta_w, lengths_w, reps, spec=wsp_u)
+    uniform_mbps = nbytes_u / dt_u / 1e6
+    del meta_w, lengths_w
     result = {
         "metric": "tokenize_de_matrix_throughput",
         "value": round(uniform_mbps, 2),
         "unit": "MB/s/chip",
         "vs_baseline": round(uniform_mbps / BASELINE_MBPS, 2),
+        "uniform_base_mbps": round(uniform_base, 2),
+        "wave_rung_h": int(wsp_u.H),
     }
 
     # device-timeline rate (kernel rounds + XLA glue, excluding the
@@ -541,9 +555,14 @@ def main():
         del eng_da
 
         # ---- host-stage scaling + projected e2e --------------------
+        # the device term of the projection is the device-TIMELINE
+        # rate (production PCIe hosts don't pay the dev tunnel's
+        # per-call dispatch, which dominates today's wall number)
+        dev_term = result.get("device_time_mbps") or uniform_mbps
         result["host_scaling"] = _host_scaling(
-            eng, doc, min(16384, B), uniform_mbps
+            eng, doc, min(16384, B), dev_term
         )
+        result["host_scaling"]["device_term"] = round(dev_term, 1)
 
         # ---- end-to-end host pipeline ------------------------------
         from datok_tpu.runtime.overlap import tokenize_stream_pipelined
