@@ -88,6 +88,8 @@ def main():
         ("HOT", "hot_size", int), ("PRING", "kernel_pring", int),
         ("POOL", "kernel_pool", int), ("KK", "kernel_k", int),
         ("CH", "kernel_ch", int), ("INJQ", "kernel_injq", int),
+        ("WGRP", "kernel_wgrp", int), ("BL", "kernel_bl", int),
+        ("INJB", "kernel_inj_budget", float),
     ):
         if os.environ.get(env):
             kw[key] = cast(os.environ[env])
@@ -134,7 +136,8 @@ def main():
         "workload": WORKLOAD,
         "per_wave": bool(wspec is not None),
         "config": {k: os.environ[k] for k in
-                   ("HOT", "PRING", "POOL", "KK", "CH", "INJQ")
+                   ("HOT", "PRING", "POOL", "KK", "CH", "INJQ",
+                    "WGRP", "BL", "INJB")
                    if k in os.environ},
         "H": int((wspec or getattr(eng, "spec", None)).H),
         "bad": int(np.asarray(out[1]).sum()),

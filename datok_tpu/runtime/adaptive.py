@@ -1,6 +1,14 @@
 """Adaptive hot-set coverage: route each batch to one of two fused
 engines by its sampled cold rate.
 
+SUPERSEDED as the default by per-wave hot specs (jax_engine.wave_spec,
+round 5): BatchEngine(per_wave=True) census-builds each wave's own hot
+set and swaps it under one compiled machine, which beats both of this
+module's static engines on every measured workload (novel prose 40 vs
+53 MB/s wide; mixed 216 vs 205).  This router remains useful when the
+native census is unavailable (pure-Python hosts) or when a caller
+wants two FIXED configurations with no per-wave work.
+
 One static hot-set size cannot serve both workload families (measured
 on v5e, DE model, B=32K — BENCH_LOG rounds 4-5): uniform prose wants a
 narrow hot set (H≤640: 375-383 MB/s; H=768 costs ~8% per step), while

@@ -129,6 +129,9 @@ class CorpusRunner:
             lens = sorted(len(d) for _, d, _ in head)
             med = lens[len(lens) // 2] if lens else 0
             pack_len = 1024 if med < 256 else 0
+            if stats is not None:
+                stats["pack_len"] = pack_len
+                stats["median_doc_len"] = med
             import itertools
 
             items_it = itertools.chain(head, it)

@@ -1,0 +1,82 @@
+"""Engine runtime adaptation: ring-window desync feedback and the
+corpus auto-pack decision.
+
+Both exist because one static configuration cannot serve every
+workload (BENCH_LOG r5): rotated-phase batches outrun the 128-row
+meta ring (round efficiency 0.52, fixed by the 256-row ring:
+290.5 → 316.9 MB/s), while realistic mixed corpora measured ~2×
+SLOWER lane-packed than sorted-unpacked, and packed waves' 4 global
+steps per char-of-L brushed the step budget (the corpus repair storm,
+fixed by deciding packing from the median document length).
+"""
+
+import numpy as np
+import pytest
+
+from datok_tpu.runtime.jax_engine import BatchEngine
+
+
+@pytest.fixture(scope="module")
+def eng(mat_de):
+    return BatchEngine(
+        mat_de, engine="pallas", kernel_k=16, kernel_bl=128,
+        pallas_interpret=True,
+    )
+
+
+def test_pring_feedback_flip_and_hysteresis(eng):
+    eng._pring_auto = 0
+    eng._pring_pending = None
+    K = eng.kernel_k
+    # desynced batch: rounds exit early → widen
+    eng._pring_feedback(np.array([100, 0, 0]), 100 * K * 0.50)
+    assert eng._pring_auto == 256
+    # healthy-but-not-great efficiency: stays wide (hysteresis)
+    eng._pring_feedback(np.array([100, 0, 0]), 100 * K * 0.65)
+    assert eng._pring_auto == 256
+    # clearly healthy: narrows back
+    eng._pring_feedback(np.array([100, 0, 0]), 100 * K * 0.86)
+    assert eng._pring_auto == 0
+    # healthy stays narrow
+    eng._pring_feedback(np.array([100, 0, 0]), 100 * K * 0.86)
+    assert eng._pring_auto == 0
+    # tiny runs (guard shapes) never flip
+    eng._pring_feedback(np.array([2, 0, 0]), 1)
+    assert eng._pring_auto == 0
+
+
+def test_pring_feedback_lazy_consumption(eng):
+    """Pending device scalars are consumed exactly once, at the next
+    _pring_effective() call — never at store time (a host read there
+    would sync the pipelined caller)."""
+    eng._pring_auto = 0
+    K = eng.kernel_k
+    eng._pring_pending = (np.array([100, 0, 0]), 100 * K * 0.50)
+    assert eng._pring_effective() == 256
+    assert eng._pring_pending is None
+
+
+def test_explicit_pring_disables_feedback(mat_de):
+    e = BatchEngine(
+        mat_de, engine="pallas", kernel_k=16, kernel_bl=128,
+        pallas_interpret=True, kernel_pring=128,
+    )
+    e._pring_feedback(np.array([100, 0, 0]), 100 * e.kernel_k * 0.1)
+    assert e._pring_effective() == 128
+
+
+def test_corpus_auto_pack_decision(tmp_path, mat_de, eng):
+    from datok_tpu.runtime.corpus import CorpusRunner
+
+    tiny = "Kurz.\x04" * 400
+    (tmp_path / "tiny.txt").write_text(tiny)
+    big = ("Der alte Mann ging sehr langsam über die lange Straße "
+           "hinunter zum Fluss und wieder zurück. " * 8 + "\x04") * 40
+    (tmp_path / "big.txt").write_text(big)
+
+    for name, want_pack in (("tiny.txt", 1024), ("big.txt", 0)):
+        st = {}
+        r = CorpusRunner(mat_de, str(tmp_path / ("out_" + name)),
+                         engine=eng)
+        r.run([str(tmp_path / name)], stats=st)
+        assert st["pack_len"] == want_pack, (name, st)
