@@ -44,12 +44,76 @@ static const uint32_t META_RUN_MASK = 0x1F;
 // packed meta to metas.  `ascii_tab` has 256 entries; `keys`/`vals`
 // (n_keys) are the sorted non-ASCII sigma pairs; `fallback` is the
 // identity symbol or 0.  Returns number of codepoints.
-int64_t dt_encode(const uint8_t* data, int64_t n, const int32_t* ascii_tab,
-                  const int32_t* keys, const int32_t* vals, int64_t n_keys,
-                  int32_t fallback, int32_t* cps, int32_t* metas) {
+// Fused single-streaming-pass core: UTF-8 decode + meta + optional
+// class stamp, with the suffix-run field filled per skip-class
+// SEGMENT as each run closes (the just-written metas are still in
+// L1, so the fill is free compared to the old separate backward pass
+// over the whole buffer — the encode stage is memory-bound on
+// production hosts, and the old layering touched every meta word
+// three times: decode pass, run redo, class pass).  Bit-identical to
+// encode.py's numpy encoder by construction (parity pinned by
+// tests/test_native.py).
+static const int META_CLS_SHIFT_ = 24;
+
+static inline void fill_run(int32_t* metas, int64_t s, int64_t e) {
+  // run[i] = e - i for i in [s, e): length of the skip-class run
+  // starting at i (clamped to the field mask), matching encode.py's
+  // next_nonlc - idx
+  for (int64_t j = s; j < e; j++) {
+    int64_t r = e - j;
+    if (r > (int64_t)META_RUN_MASK) r = (int64_t)META_RUN_MASK;
+    metas[j] |= (int32_t)r << META_RUN_SHIFT;
+  }
+}
+
+static int64_t encode_core(const uint8_t* data, int64_t n,
+                           const int32_t* ascii_tab, const int32_t* keys,
+                           const int32_t* vals, int64_t n_keys,
+                           int32_t fallback, const uint8_t* lc_mask,
+                           const int32_t* cls_tab, int64_t n_cls,
+                           int32_t* cps, int32_t* metas) {
   int64_t out = 0;
   int64_t i = 0;
+  int64_t run_start = -1;  // open skip-class segment, or -1
+  // Precomputed ASCII meta+class line (256 × i32): collapses the
+  // per-char class clip/lookup and the EOT test into one load for the
+  // ~95% of German/English bytes that are single-byte UTF-8.
+  int32_t ascii_meta[256];
+  uint8_t ascii_lc[256];
+  for (int c = 0; c < 256; c++) {
+    uint32_t m = (uint32_t)ascii_tab[c] & 0xFFFF;
+    if (c == 4) m |= META_EOT;
+    if (cls_tab != nullptr && n_cls > 0) {
+      int32_t a = (int32_t)(m & 0xFFFF);
+      int32_t ac = a < n_cls ? a : (int32_t)n_cls - 1;
+      m |= (uint32_t)cls_tab[ac] << META_CLS_SHIFT_;
+    }
+    ascii_meta[c] = (int32_t)m;
+    ascii_lc[c] = lc_mask != nullptr ? (c < 128 && lc_mask[c])
+                                     : (c >= 'a' && c <= 'z');
+  }
   while (i < n) {
+    // ASCII chunk fast path: no UTF-8 branching, one table load per
+    // byte (checked 8 bytes at a time via the high-bit mask)
+    while (i + 8 <= n) {
+      uint64_t w;
+      memcpy(&w, data + i, 8);
+      if (w & 0x8080808080808080ULL) break;
+      for (int k = 0; k < 8; k++) {
+        uint8_t b = data[i + k];
+        if (ascii_lc[b]) {
+          if (run_start < 0) run_start = out;
+        } else if (run_start >= 0) {
+          fill_run(metas, run_start, out);
+          run_start = -1;
+        }
+        cps[out] = (int32_t)b;
+        metas[out] = ascii_meta[b];
+        out++;
+      }
+      i += 8;
+    }
+    if (i >= n) break;
     uint32_t cp;
     uint8_t b0 = data[i];
     if (b0 < 0x80) {
@@ -90,19 +154,33 @@ int64_t dt_encode(const uint8_t* data, int64_t n, const int32_t* ascii_tab,
         meta = ((uint32_t)fallback & 0xFFFF) | META_NONASCII;
       }
     }
+    if (cls_tab != nullptr && n_cls > 0) {
+      int32_t a = (int32_t)(meta & 0xFFFF);
+      // clip exactly like the numpy encoder (np.clip(a, 0, n_cls-1))
+      int32_t ac = a < 0 ? 0 : (a < n_cls ? a : (int32_t)n_cls - 1);
+      meta |= (uint32_t)cls_tab[ac] << META_CLS_SHIFT_;
+    }
+    bool is_lc = lc_mask != nullptr ? (cp < 128 && lc_mask[cp])
+                                    : (cp >= 'a' && cp <= 'z');
+    if (is_lc) {
+      if (run_start < 0) run_start = out;
+    } else if (run_start >= 0) {
+      fill_run(metas, run_start, out);
+      run_start = -1;
+    }
     cps[out] = (int32_t)cp;
     metas[out] = (int32_t)meta;
     out++;
   }
-  // suffix run lengths of ASCII lowercase (see encode.py)
-  int32_t run = 0;
-  for (int64_t i = out - 1; i >= 0; i--) {
-    uint32_t cp = (uint32_t)cps[i];
-    run = (cp >= 'a' && cp <= 'z') ? run + 1 : 0;
-    int32_t r = run > (int32_t)META_RUN_MASK ? (int32_t)META_RUN_MASK : run;
-    metas[i] |= r << META_RUN_SHIFT;
-  }
+  if (run_start >= 0) fill_run(metas, run_start, out);
   return out;
+}
+
+int64_t dt_encode(const uint8_t* data, int64_t n, const int32_t* ascii_tab,
+                  const int32_t* keys, const int32_t* vals, int64_t n_keys,
+                  int32_t fallback, int32_t* cps, int32_t* metas) {
+  return encode_core(data, n, ascii_tab, keys, vals, n_keys, fallback,
+                     nullptr, nullptr, 0, cps, metas);
 }
 
 // Device-feed encoder: dt_encode plus the two engine-coupled fields
@@ -120,33 +198,11 @@ int64_t dt_encode2(const uint8_t* data, int64_t n, const int32_t* ascii_tab,
                    int32_t fallback, const uint8_t* lc_mask,
                    const int32_t* cls_tab, int64_t n_cls, int32_t* cps,
                    int32_t* metas) {
-  int64_t out = dt_encode(data, n, ascii_tab, keys, vals, n_keys, fallback,
-                          cps, metas);
-  if (lc_mask != nullptr) {
-    // redo the run field under the caller's class
-    int32_t run = 0;
-    const int32_t run_clear = ~((int32_t)META_RUN_MASK << META_RUN_SHIFT);
-    for (int64_t i = out - 1; i >= 0; i--) {
-      uint32_t cp = (uint32_t)cps[i];
-      run = (cp < 128 && lc_mask[cp]) ? run + 1 : 0;
-      int32_t r = run > (int32_t)META_RUN_MASK ? (int32_t)META_RUN_MASK : run;
-      metas[i] = (metas[i] & run_clear) | (r << META_RUN_SHIFT);
-    }
-  }
-  if (cls_tab != nullptr) {
-    for (int64_t i = 0; i < out; i++) {
-      int32_t a = metas[i] & 0xFFFF;
-      // clip exactly like the numpy encoder (np.clip(a, 0, n_cls-1)):
-      // ids past the table read its last entry, keeping the two
-      // encoders bit-identical by construction even for ids that
-      // cannot occur with packer-produced tables
-      if (n_cls > 0) {
-        int32_t ac = a < 0 ? 0 : (a < n_cls ? a : (int32_t)n_cls - 1);
-        metas[i] |= cls_tab[ac] << META_CLS_SHIFT;
-      }
-    }
-  }
-  return out;
+  // one fused streaming pass (see encode_core) — the old layering
+  // (base encode, backward run redo, class pass) tripled the meta
+  // traffic of the host feeding stage
+  return encode_core(data, n, ascii_tab, keys, vals, n_keys, fallback,
+                     lc_mask, cls_tab, n_cls, cps, metas);
 }
 
 // Whole-wave encoder: B documents concatenated in `data` at byte
