@@ -19,7 +19,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import BENCH_TEXT  # noqa: E402
+from bench import BENCH_TEXT, BENCH_TEXT_EN  # noqa: E402
 from probe_hetero_mixed import hetero_texts  # noqa: E402
 from probe_novel import novel_texts  # noqa: E402
 
@@ -37,6 +37,9 @@ WORKLOAD = os.environ.get("WORKLOAD", "mixed")
 
 
 def make_texts():
+    if WORKLOAD == "uniform_en":
+        base = (BENCH_TEXT_EN * (L // len(BENCH_TEXT_EN) + 1))[: L - 2]
+        return [base + ".\x04"] * B
     if WORKLOAD == "uniform":
         base = (BENCH_TEXT * (L // len(BENCH_TEXT) + 1))[: L - 2]
         return [base + ".\x04"] * B
@@ -80,7 +83,12 @@ def main():
     import datok_tpu as dt
     from datok_tpu.runtime.jax_engine import BatchEngine
 
-    tok = dt.load_matrix_file("/root/reference/testdata/tokenizer_de.matok")
+    model = os.environ.get(
+        "MODEL", "en" if WORKLOAD.endswith("_en") else "de"
+    )
+    tok = dt.load_matrix_file(
+        f"/root/reference/testdata/tokenizer_{model}.matok"
+    )
     texts = make_texts()
     nbytes = sum(len(t.encode()) for t in texts)
     kw = {}
