@@ -311,7 +311,7 @@ def _host_scaling(eng, doc, n_docs, device_mbps):
     return out
 
 
-def _profile(eng, meta_d, lengths_d, B, n_steps, nbytes):
+def _profile(eng, meta_d, lengths_d, B, n_steps, nbytes, spec=None):
     """jax.profiler trace of one uniform run → kernel ns/lane-step vs
     the analytic speed-of-light (BENCH_LOG.md roofline)."""
     import glob
@@ -321,7 +321,9 @@ def _profile(eng, meta_d, lengths_d, B, n_steps, nbytes):
 
     out_dir = "/tmp/datok_prof_bench"
     with jax.profiler.trace(out_dir):
-        jax.block_until_ready(eng.run_raw_device(meta_d, lengths_d))
+        jax.block_until_ready(
+            eng.run_raw_device(meta_d, lengths_d, spec=spec)
+        )
 
     # The dev-tunnel profiler exposes device time at XLA-op
     # granularity: the machine's outer `while.N` (whole loop) and
@@ -358,7 +360,7 @@ def _profile(eng, meta_d, lengths_d, B, n_steps, nbytes):
             elif name.startswith("jit_"):
                 device_us += evt["dur"]
 
-    spec = eng.spec
+    spec = spec if spec is not None else eng.spec
     H = spec.H
     W = spec.C_pad if spec.cls_tab is not None else spec.A_pad
     if eng.kernel_pring:
@@ -428,7 +430,6 @@ def main():
     )
     dt_u = _timed_device(eng, meta_w, lengths_w, reps, spec=wsp_u)
     uniform_mbps = nbytes_u / dt_u / 1e6
-    del meta_w, lengths_w
     result = {
         "metric": "tokenize_de_matrix_throughput",
         "value": round(uniform_mbps, 2),
@@ -440,13 +441,15 @@ def main():
 
     # device-timeline rate (kernel rounds + XLA glue, excluding the
     # dev tunnel's per-call dispatch/sync that PCIe hosts don't pay):
-    # machine-checked every round next to the wall number
+    # machine-checked every round next to the wall number, and
+    # measured on the SAME per-wave configuration as the headline
     prof = _profile(
-        eng, meta_d, lengths_d, B, n_steps, B * len(doc.encode()),
+        eng, meta_w, lengths_w, B, n_steps, nbytes_u, spec=wsp_u,
     )
     result["device_time_mbps"] = prof["device_mbps"]
     if do_profile:
         result["profile"] = prof
+    del meta_w, lengths_w
 
     # ---- heterogeneous: same text rotated per lane -----------------
     # headline rows run the production path (census-built per-wave
@@ -460,7 +463,6 @@ def main():
     result["hetero_base_mbps"] = round(nbytes_h / dt_h / 1e6, 2)
     del meta_hd, lengths_hd
     wsp_h = eng.wave_spec(het)
-    t0 = time.time()
     meta_hd, lengths_hd, nbytes_h = _stage_device(
         eng, het, encoder=eng.encoder_for(wsp_h)
     )

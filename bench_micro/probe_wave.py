@@ -52,7 +52,8 @@ def make_texts():
         ]
     if WORKLOAD == "mixed":
         t = hetero_texts(B, L)
-        return sorted(t, key=len) if os.environ.get("SORTLEN", "1") else t
+        return (sorted(t, key=len)
+                if os.environ.get("SORTLEN", "1") not in ("", "0") else t)
     if WORKLOAD == "mixed_packed":
         # greedy-pack whole \x04-terminated docs into ≤L−2-char lanes:
         # stream-exact per lane, fills the lane bytes the plain mixed

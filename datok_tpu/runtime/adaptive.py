@@ -103,23 +103,11 @@ class AdaptiveEngine:
             return 0.0
         from ..utils.native import native_cold_rate
 
-        budget = self.sample_chars
-        n = len(texts)
-        if n == 0:
+        from .jax_engine import sample_texts
+
+        sample = sample_texts(texts, self.sample_chars)
+        if sample is None:
             return 0.0
-        # spread the budget round-robin over documents so one giant
-        # document cannot monopolize the sample
-        take = max(256, budget // max(1, min(n, 256)))
-        step = max(1, n // 256)
-        parts = []
-        got = 0
-        for i in range(0, n, step):
-            t = texts[i]
-            parts.append(t[:take])
-            got += min(len(t), take)
-            if got >= budget:
-                break
-        sample = "".join(parts)
         cps = np.frombuffer(
             sample.encode("utf-32-le"), dtype=np.int32
         )

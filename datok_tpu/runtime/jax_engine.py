@@ -740,6 +740,33 @@ def _run_machine(tables, meta, length, ctx_init, stop_flags=None,
 # ---------------------------------------------------------------------------
 
 
+def sample_texts(texts, budget: int = 262144):
+    """Round-robin document sample for native statistics walks
+    (census, cold rate): prefixes of ≤256 docs joined by newlines —
+    the '\n' re-grounds the walk at a boundary symbol; long documents
+    contribute an interior slice too (their vocabulary is not all in
+    the prefix).  Returns the joined str, or None for empty input."""
+    n = len(texts)
+    if n == 0:
+        return None
+    take = max(256, budget // max(1, min(n, 256)))
+    step = max(1, n // 256)
+    parts = []
+    got = 0
+    for i in range(0, n, step):
+        t = texts[i]
+        if len(t) > 2 * take:
+            mid = len(t) // 2
+            parts.append(t[: take // 2])
+            parts.append(t[mid : mid + take - take // 2])
+        else:
+            parts.append(t[:take])
+        got += min(len(t), take)
+        if got >= budget:
+            break
+    return "\n".join(parts)
+
+
 def _tok_static(tok):
     """Hot-set-INDEPENDENT precomputations, cached on the tokenizer.
 
@@ -1086,6 +1113,10 @@ class HotSpec:
         overflow past 128) — the caller never has to special-case.
         Cost: ~5 ms (tok-level passes are cached, see _tok_static).
         """
+        if not getattr(base, "pallas_ok", False) or not hasattr(
+            base, "cold_full_p2"
+        ):
+            return base
         H = base.H
         hs = np.asarray(hot_states, dtype=np.int64)
         hs = hs[(hs != 1) & (hs > 0)]
@@ -1685,6 +1716,11 @@ class BatchEngine:
                 and self.spec.svc_ok
                 and kernel_svc_ns != 0
                 and self.rep.S < (1 << 15)
+                # the injection fingerprint packs the symbol id at
+                # bit 18 of an int32 (13 usable bits): larger sigmas
+                # would alias (state, symbol) pairs and consume the
+                # WRONG injected transition — silently
+                and self.rep.max_sym < (1 << 13)
             )
             if (
                 engine == "pallas"
@@ -1742,29 +1778,10 @@ class BatchEngine:
         prefixes round-robin across ≤256 docs, joined by newlines."""
         from ..utils.native import native_state_census
 
-        n = len(texts)
-        if n == 0:
+        sample = sample_texts(texts, sample_chars)
+        if sample is None:
             return None
-        take = max(256, sample_chars // max(1, min(n, 256)))
-        step = max(1, n // 256)
-        parts = []
-        got = 0
-        for i in range(0, n, step):
-            t = texts[i]
-            if len(t) > 2 * take:
-                # cover the interior too: long-document vocabulary is
-                # not all in the prefix (the join '\n' re-grounds the
-                # walk at a boundary symbol)
-                mid = len(t) // 2
-                parts.append(t[: take // 2])
-                parts.append(t[mid : mid + take - take // 2])
-            else:
-                parts.append(t[:take])
-            got += min(len(t), take)
-            if got >= sample_chars:
-                break
-        cps = text_to_codepoints("\n".join(parts))
-        metas = self.encoder.encode(cps)
+        metas = self.encoder.encode(text_to_codepoints(sample))
         r = native_state_census(self.tok, np.asarray(metas, np.int32))
         if r is None:
             return None
@@ -1795,6 +1812,12 @@ class BatchEngine:
                 self.tok, self.spec.hot_full[1:H],
                 cold_p2=len(self.spec.cold_full_p2),
             )
+            if not (b.pallas_ok and b.svc_ok):
+                # a narrow rung can overflow the packed-entry format
+                # (e.g. cold targets > 2047 from a small hot set on a
+                # big model) — fall back to the engine spec rather
+                # than crash the pipeline prep thread
+                b = self.spec
             cache[H] = b
         return b
 
@@ -2016,6 +2039,10 @@ class BatchEngine:
                     (B_pad, spec.hid1), (entries_d, hid_d, epst_d, lc_d)
                 )
         stop_flags = None if stops_a is None else jnp.asarray(stops_a)
+        # one call: _pring_effective consumes the pending feedback pair
+        # (state-mutating) — evaluating it twice would rely on replay
+        # idempotence
+        pring_eff = self._pring_effective()
         ys, bad, steps, state, stats = _run_machine_pallas(
             self.tables,
             pspec.tables,
@@ -2038,8 +2065,7 @@ class BatchEngine:
             early_exit=self.kernel_early_exit,
             interpret=self.pallas_interpret,
             **(
-                {"pring": self._pring_effective()}
-                if self._pring_effective() else {}
+                {"pring": pring_eff} if pring_eff else {}
             ),
             ch=self.kernel_ch,
             pool=self.kernel_pool,

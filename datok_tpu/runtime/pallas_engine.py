@@ -782,7 +782,14 @@ def _run_machine_pallas(
     # pooled lane idles global steps between services, so its own
     # completion needs slack beyond steps_factor × its length.
     max_steps_pad = max_steps + max_steps // 2 + K + 8
-    if has_svc and svc_ns != 0 and rep.S < (1 << 15):
+    inj_capable = (
+        has_svc and svc_ns != 0 and rep.S < (1 << 15)
+        # the injection fingerprint packs the symbol id at bit 18 of
+        # an int32 (13 usable bits) — larger sigmas would alias
+        # (state, symbol) pairs and consume the WRONG entry
+        and rep.max_sym < (1 << 13)
+    )
+    if inj_capable:
         # injection mode (set just below): a cold-stalled lane idles
         # the rest of its round awaiting the next injection, so the
         # GLOBAL step counter runs ahead of per-lane progress.  The
@@ -811,7 +818,7 @@ def _run_machine_pallas(
     # The in-kernel injected value carries the full target id in 15
     # bits (see fetch_trans), so very large models fall back to the
     # service path.
-    inj_mode = has_svc and svc_ns != 0 and rep.S < (1 << 15)
+    inj_mode = inj_capable
 
     if injq < 1:
         injq = 1

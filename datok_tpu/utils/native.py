@@ -338,9 +338,16 @@ def native_decode_events(ev: np.ndarray, counts: np.ndarray,
     ev = np.ascontiguousarray(ev, dtype=np.uint32)
     counts = np.ascontiguousarray(counts, dtype=np.int32)
     B, E = ev.shape
-    # Mirror the native clamp (counts bounded by the row width E) so
-    # tri is sized exactly as dt_decode_events will fill it even if a
-    # caller passes a narrower ev slice than counts implies.
+    # A narrower ev slice than counts implies would decode with
+    # per-lane truncation, and every downstream consumer computes
+    # document offsets from the UNCLAMPED counts — cross-document
+    # event misattribution, not a local error.  Fail loud instead
+    # (the C-side clamp stays as the out-of-bounds backstop).
+    if counts.size and int(counts.max()) > E:
+        raise ValueError(
+            f"event rows narrower than counts: E={E} < "
+            f"max(counts)={int(counts.max())}"
+        )
     total = int(np.minimum(counts, E).clip(min=0).sum())
     tri = np.empty((total, 3), dtype=np.int32)
     if workers is None:
