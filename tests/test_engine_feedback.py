@@ -80,3 +80,39 @@ def test_corpus_auto_pack_decision(tmp_path, mat_de, eng):
                          engine=eng)
         r.run([str(tmp_path / name)], stats=st)
         assert st["pack_len"] == want_pack, (name, st)
+
+
+def test_native_decode_events_rejects_narrow_slice(mat_de, eng):
+    """A narrower event-row slice than counts implies must fail loud:
+    downstream offsets use the unclamped counts, so silent truncation
+    would misattribute events across documents."""
+    from datok_tpu.utils.native import native_decode_events
+    import numpy as np
+
+    ev, counts, bad, _ = eng.run_events_compact(
+        *eng.encoder.encode_batch(["Der alte Mann ging heim."] * 4)[:2]
+    )
+    assert not bad.any()
+    if native_decode_events(ev, counts) is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    wide = int(counts.max())
+    assert wide > 1
+    with np.testing.assert_raises(ValueError):
+        native_decode_events(ev[:, : wide - 1], counts)
+
+
+def test_injection_requires_small_sigma(mat_de):
+    """The injection fingerprint packs the symbol id at bit 18 of an
+    int32 — engines whose sigma exceeds 13 bits must not enable it
+    (aliasing would consume the WRONG injected entry, silently)."""
+    e = BatchEngine(
+        mat_de, engine="pallas", kernel_bl=128, pallas_interpret=True
+    )
+    assert e.rep.max_sym < (1 << 13) and e.inj_enabled
+    # the gate itself: simulate a huge sigma
+    class FakeRep:
+        S = e.rep.S
+        max_sym = 1 << 13
+    assert not (FakeRep.S < (1 << 15) and FakeRep.max_sym < (1 << 13))
