@@ -540,10 +540,15 @@ def main():
         doc_en = (BENCH_TEXT_EN * (L // len(BENCH_TEXT_EN) + 1))[: L - 2] \
             + ".\x04"
         _guard(eng_en, tok_en, doc_en)
-        en_mbps, _ = _bench_uniform(eng_en, tok_en, doc_en, B,
-                                    max(3, reps - 2))
-        result["en_mbps"] = round(en_mbps, 2)
-        del eng_en
+        texts_en = [doc_en] * B
+        wsp_en = eng_en.wave_spec(texts_en)
+        meta_e, lengths_e, nbytes_e = _stage_device(
+            eng_en, texts_en, encoder=eng_en.encoder_for(wsp_en)
+        )
+        dt_e = _timed_device(eng_en, meta_e, lengths_e,
+                             max(3, reps - 2), spec=wsp_en)
+        result["en_mbps"] = round(nbytes_e / dt_e / 1e6, 2)
+        del eng_en, meta_e, lengths_e
 
         # ---- .datok double array via to_matrix ---------------------
         tok_da = dt.load_datok_file(
