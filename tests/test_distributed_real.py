@@ -139,7 +139,7 @@ def test_two_process_coordinator(tmp_path):
     }
     try:
         with open(
-            os.path.join(REPO, "DISTRIBUTED_r04.json"), "w", encoding="utf-8"
+            os.path.join(REPO, "DISTRIBUTED_r05.json"), "w", encoding="utf-8"
         ) as fh:
             json.dump(artifact, fh, indent=1)
     except OSError:
