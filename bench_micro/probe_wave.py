@@ -52,6 +52,32 @@ def make_texts():
         ]
     if WORKLOAD == "mixed":
         t = hetero_texts(B, L)
+        if os.environ.get("SORTSTEPS"):
+            # sort lanes by EXACT step count (native walk per doc):
+            # the kernel convoys per BL-block on steps, not chars —
+            # run-skipping makes char length a noisy proxy
+            import datok_tpu as dt
+            from datok_tpu.runtime.jax_engine import BatchEngine
+            from datok_tpu.utils.native import native_cold_rate
+
+            tok = dt.load_matrix_file(
+                "/root/reference/testdata/tokenizer_de.matok"
+            )
+            eng = BatchEngine(tok, engine="hot")
+            import numpy as np
+            mask = np.ones(eng.rep.S + 1, np.uint8)
+            import time as _t
+            t0 = _t.time()
+            keys = []
+            for d in t:
+                m = eng.encoder.encode(
+                    np.frombuffer(d.encode("utf-32-le"), dtype=np.int32)
+                )
+                r = native_cold_rate(tok, m, mask)
+                keys.append(r[1] if r else len(d))
+            print(f"# step-sort walk: {_t.time()-t0:.1f}s",
+                  file=sys.stderr)
+            return [d for _, d in sorted(zip(keys, t), key=lambda p: p[0])]
         return (sorted(t, key=len)
                 if os.environ.get("SORTLEN", "1") not in ("", "0") else t)
     if WORKLOAD == "mixed_packed":
