@@ -116,3 +116,23 @@ def test_injection_requires_small_sigma(mat_de):
         S = e.rep.S
         max_sym = 1 << 13
     assert not (FakeRep.S < (1 << 15) and FakeRep.max_sym < (1 << 13))
+
+
+def test_budget_kill_repairs_exactly(mat_de):
+    """Lanes killed at the global step budget must repair EXACTLY on
+    the host (the corpus-storm scenario of BENCH_LOG r5 in miniature:
+    a deliberately starved budget + stall-heavy novel vocabulary)."""
+    e = BatchEngine(
+        mat_de, engine="pallas", kernel_k=8, kernel_bl=128,
+        pallas_interpret=True, per_wave=False, steps_factor=1.0,
+        kernel_inj_budget=1.0,
+    )
+    texts = [
+        "Zyklotronresonanz vexiert jodhaltige Quarzbrocken famos und "
+        "die Psychopharmakakommission qualifizierte Oxymorone.",
+        "Der alte Mann ging heim.",
+        "Wachstumsschmerzen plagen juvenile Axolotl, ca. 7,5%.",
+    ] * 3
+    got = e.tokenize_batch(texts)
+    want = [mat_de.tokenize(t) for t in texts]
+    assert got == want  # exact regardless of how many lanes went bad
