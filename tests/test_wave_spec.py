@@ -168,3 +168,27 @@ def test_for_wave_fill_and_trim(eng):
         eng.spec, eng.tok, np.arange(2, eng.rep.S, 2)[: 4 * H]
     )
     assert big.H == H
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_per_wave_stream_fuzz(eng, mat_de, seed):
+    """Randomized streams through the pipelined surface with the
+    per-wave engine: census-driven table swaps (different rungs per
+    wave) must never disturb stream exactness."""
+    import random
+
+    from datok_tpu.runtime.pipeline import tokenize_stream
+    from datok_tpu.runtime.overlap import tokenize_stream_pipelined
+
+    rng = random.Random(4200 + seed)
+    vocab = TEXTS[:4] + NOVEL
+    for case in range(3):
+        text = "".join(
+            rng.choice(vocab) + ("\x04" if rng.random() < 0.7 else " ")
+            for _ in range(rng.randint(2, 12))
+        )
+        want = tokenize_stream(mat_de, text, engine=eng).getvalue()
+        got = tokenize_stream_pipelined(
+            mat_de, text, engine=eng, lanes=rng.choice([3, 8]),
+        ).getvalue()
+        assert got == want, (seed, case, repr(text[:80]))
